@@ -1,0 +1,183 @@
+"""Distributed index build pipeline (SURVEY.md §3.1).
+
+Spec: BASELINE.json:6 — streaming-execution pipeline over the Parquet
+corpus: ``read_parquet -> map_batches(ids+sha, stateless) ->
+map_batches(analyzer actor pool) -> groupby(part) shuffle ->
+build+write compressed segments -> Ray Data aggregates for global
+term/collection statistics``.
+
+THE shuffle is ``groupby("part")`` where part = doc_id % P and doc_id is
+a sha256-derived hash: the shuffle key is uniform by construction, so
+term-frequency skew ('def'/'import' in every doc) cannot skew the
+exchange — hot terms end up split into P per-segment sub-posting lists
+(the spec's "hot terms split into sub-postings").  The only term-keyed
+aggregation (global df/cf) runs over per-segment PARTIAL rows — at most
+|vocab| rows per segment, a combiner — so its groupby moves dictionary
+rows, never postings.
+
+No ray.init / ray.shutdown here (driver contract).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from . import checkpoint
+from .ids import assign_ids
+from .postings import AnalyzeDocs
+from .segments import build_segment, empty_segment, list_segments
+
+SUMMARY_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("num_docs", pa.int64()),
+        ("num_postings", pa.int64()),
+        ("build_seconds", pa.float64()),
+    ]
+)
+
+
+def build_index(
+    corpus: "ray.data.Dataset",
+    out_dir: str,
+    num_parts: int = 32,
+    analyzer: str = "code",
+    resume: bool = False,
+    analyzer_concurrency=(1, 32),
+    analyzer_batch_size: int = 128,
+    source: str = "corpus",
+) -> dict:
+    """Build (or resume) the index at ``out_dir``.  Returns build metrics."""
+    t0 = time.perf_counter()
+    checkpoint.write_build_manifest(out_dir, num_parts, analyzer, source)
+    done = checkpoint.completed_parts(out_dir)
+    if done and not resume:
+        raise ValueError(
+            f"{out_dir} already holds {len(done)} segments; pass resume=True "
+            "or use a fresh out_dir"
+        )
+    remaining = set(range(num_parts)) - done
+
+    if remaining:
+        ds = corpus.map_batches(
+            lambda b: assign_ids(b, num_parts), batch_format="pyarrow"
+        )
+        if done:
+            todo = pa.array(sorted(remaining), pa.int32())
+
+            def keep_remaining(batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.is_in(batch.column("part"), value_set=todo))
+
+            ds = ds.map_batches(keep_remaining, batch_format="pyarrow")
+        ds = ds.map_batches(
+            AnalyzeDocs,
+            fn_constructor_kwargs={"analyzer": analyzer},
+            batch_format="pyarrow",
+            batch_size=analyzer_batch_size,
+            concurrency=analyzer_concurrency,
+        )
+
+        def build_group(group: pa.Table) -> pa.Table:
+            part = int(group.column("part")[0].as_py())
+            man = build_segment(group, out_dir, part, analyzer)
+            return pa.table(
+                {
+                    "part": pa.array([part], pa.int32()),
+                    "num_docs": pa.array([man["num_docs"]], pa.int64()),
+                    "num_postings": pa.array([man["num_postings"]], pa.int64()),
+                    "build_seconds": pa.array([man["build_seconds"]], pa.float64()),
+                }
+            )
+
+        summaries = ds.groupby("part").map_groups(
+            build_group, batch_format="pyarrow"
+        ).take_all()
+        built = {r["part"] for r in summaries}
+        for part in sorted(remaining - built):
+            empty_segment(out_dir, part, analyzer)
+
+    stats = finalize_stats(out_dir)
+    wall = time.perf_counter() - t0
+    stats["build_wall_seconds"] = round(wall, 3)
+    stats["docs_per_sec"] = round(stats["num_docs"] / wall, 1) if wall else 0.0
+    stats["postings_per_sec"] = (
+        round(stats["total_postings"] / wall, 1) if wall else 0.0
+    )
+    return stats
+
+
+def finalize_stats(out_dir: str) -> dict:
+    """Global aggregates (G2-G4): collection stats from segment
+    manifests (driver-side rollup of P small JSONs) + global per-term
+    df/cf via a combiner-style Ray Data groupby over the per-segment
+    dictionary PARTIALS (≤ |vocab| rows each, never postings)."""
+    manifests = checkpoint.read_segment_manifests(out_dir)
+    num_docs = sum(m["num_docs"] for m in manifests)
+    total_doc_len = sum(m["total_doc_len"] for m in manifests)
+    total_postings = sum(m["num_postings"] for m in manifests)
+    min_doc_len = min(
+        (m["min_doc_len"] for m in manifests if m["num_docs"]), default=0
+    )
+
+    dict_files = [
+        os.path.join(s, "dict.parquet")
+        for s in list_segments(out_dir)
+        if _nonempty_dict(s)
+    ]
+    gt_dir = os.path.join(out_dir, "global_terms")
+    vocab_size = 0
+    if dict_files:
+        gt = (
+            ray.data.read_parquet(dict_files, columns=["term", "df", "cf"])
+            .groupby("term")
+            .sum(["df", "cf"])
+            .map_batches(
+                lambda b: b.rename_columns(["term", "df", "cf"]),
+                batch_format="pyarrow",
+            )
+        )
+        if os.path.isdir(gt_dir):
+            import shutil
+
+            shutil.rmtree(gt_dir)
+        gt.write_parquet(gt_dir)
+        import pyarrow.parquet as pq
+
+        vocab_size = sum(
+            pq.ParquetFile(os.path.join(gt_dir, f)).metadata.num_rows
+            for f in os.listdir(gt_dir)
+            if f.endswith(".parquet")
+        )
+    else:
+        os.makedirs(gt_dir, exist_ok=True)
+
+    stats = {
+        "num_docs": num_docs,
+        "total_doc_len": total_doc_len,
+        "avg_doc_len": (total_doc_len / num_docs) if num_docs else 0.0,
+        "min_doc_len": min_doc_len,
+        "total_postings": total_postings,
+        "vocab_size": vocab_size,
+        "num_segments": len(manifests),
+    }
+    checkpoint.write_collection_stats(out_dir, stats)
+    return dict(stats)
+
+
+def _nonempty_dict(seg_path: str) -> bool:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(seg_path, "dict.parquet")).metadata.num_rows > 0
+
+
+def read_doc_stats(out_dir: str) -> "ray.data.Dataset":
+    """T6 doc_stats as a Dataset: the per-segment docs.parquet files ARE
+    the partitioned doc-stats table (resumable output layout)."""
+    files = [os.path.join(s, "docs.parquet") for s in list_segments(out_dir)]
+    return ray.data.read_parquet(files)

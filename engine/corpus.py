@@ -1,0 +1,70 @@
+"""Corpus sources: the driver `documents` table -> corpus(T1) mapping
+(FIXTURES.md F1b) and helpers to scale it for benchmarks.
+
+The mapping is a pure map_batches projection; content bytes equal the
+source ``text`` so the sha256 per-row invariant (BASELINE.json:15) is
+checkable against the source parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+import ray.data
+
+
+def documents_batch_to_corpus(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text, lang, source, n_chars) -> corpus rows."""
+    doc_id = batch.column("doc_id").to_pylist()
+    text = batch.column("text").to_pylist()
+    lang = batch.column("lang")
+    source = batch.column("source").to_pylist()
+    n = len(doc_id)
+    return pa.table(
+        {
+            "repo": pa.array([f"testdata/{s}" for s in source], pa.string()),
+            "path": pa.array([f"docs/{d}.txt" for d in doc_id], pa.string()),
+            "commit": pa.array(
+                [hashlib.sha1(t.encode()).hexdigest() for t in text], pa.string()
+            ),
+            "lang": lang.cast(pa.string()),
+            "content": pa.array(text, pa.string()),
+        }
+    )
+
+
+def read_corpus_from_documents(
+    sf_dir: str, repeat: int = 1, override_num_blocks: int | None = None
+) -> "ray.data.Dataset":
+    """Read sf_dir/documents.parquet as a corpus Dataset.
+
+    ``repeat`` > 1 replicates each document with a distinct path suffix
+    (deterministic) to scale benchmark inputs to >=100k docs
+    (BASELINE.md metric table) without external data.
+    """
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+        **kwargs,
+    )
+
+    if repeat == 1:
+        return ds.map_batches(documents_batch_to_corpus, batch_format="pyarrow")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        base = documents_batch_to_corpus(batch)
+        parts = []
+        for r in range(repeat):
+            t = base
+            if r > 0:
+                paths = [f"{p}.r{r}" for p in t.column("path").to_pylist()]
+                t = t.set_column(1, "path", pa.array(paths, pa.string()))
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(expand, batch_format="pyarrow")

@@ -1,0 +1,279 @@
+"""Query serving pipeline (SURVEY.md §3.2): stateful actor-pool scorers,
+top-k merge, result enrichment.
+
+Spec: BASELINE.json:6 — "serves BM25 top-k queries through stateful
+actor-pool scorers using document-frequency and length statistics
+computed as Ray Data aggregates".
+
+Shape: ``queries × segments`` cross product (flat_map) ->
+``map_batches(SegmentScorer, concurrency=(min,max))`` -> per-(query,
+segment) partial top-k -> ``groupby(query_id).map_groups`` global
+merge + rank.  Because segments are DOCUMENT partitions, each partial
+top-k carries complete, final scores for its documents — the merge is a
+pure k-way selection, no score recombination — and the doc-metadata
+join (J2) is a free in-actor array lookup (the scorer already holds its
+segment's repo/path arrays).
+
+Scorer actors load per-segment state lazily and cache it across batches
+(A1: dictionary + block table + mmapped postings + doc_len arrays,
+loaded once per actor per segment).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from . import analysis, bm25, wand
+from .checkpoint import read_build_manifest, read_collection_stats
+from .segments import Segment, list_segments
+
+RESULT_PARTIAL = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("k", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+    ]
+)
+
+
+def analyze_query(analyzer: analysis.Analyzer, text: str) -> list[str]:
+    """M8: analyze with the index's recorded analyzer; dedupe terms
+    preserving first occurrence (same rule as engine.refimpl)."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for t in analyzer(text):
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+class IndexReader:
+    """Read-side state for one index dir: collection stats, global term
+    df (for idf), lazily-opened segments.
+
+    The global df map is held as a plain dict (term -> df).  At 100 TB
+    scale this map is the vocabulary, which is orders of magnitude
+    smaller than the index but can still be large; the scale path is to
+    shard global_terms by term hash and load only the shard(s) an
+    actor's query stream touches — the layout (a directory of parquet
+    files) already supports that.
+    """
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.stats = read_collection_stats(index_dir)
+        self.analyzer_name = read_build_manifest(index_dir)["analyzer"]
+        self.analyzer = analysis.get_analyzer(self.analyzer_name)
+        self.num_docs = int(self.stats["num_docs"])
+        self.avg_doc_len = float(self.stats["avg_doc_len"]) or 1.0
+        gt_dir = os.path.join(index_dir, "global_terms")
+        self.global_df: dict[str, int] = {}
+        for f in sorted(os.listdir(gt_dir)):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(gt_dir, f), columns=["term", "df"])
+                self.global_df.update(
+                    zip(t.column("term").to_pylist(), t.column("df").to_pylist())
+                )
+        self.segment_paths = list_segments(index_dir)
+        self._segments: dict[int, Segment] = {}
+
+    def segment(self, seg_id: int) -> Segment:
+        seg = self._segments.get(seg_id)
+        if seg is None:
+            seg = self._segments[seg_id] = Segment(self.segment_paths[seg_id])
+        return seg
+
+    def qterms(self, text: str) -> list[tuple[str, float]]:
+        """[(term, idf)] in analyzed order; out-of-vocabulary terms
+        dropped (df=0 -> no postings anywhere)."""
+        out = []
+        for t in analyze_query(self.analyzer, text):
+            df = self.global_df.get(t, 0)
+            if df > 0:
+                out.append((t, bm25.idf(df, self.num_docs)))
+        return out
+
+    def score_segment(
+        self, seg_id: int, text: str, k: int, mode: str = "wand"
+    ) -> list[tuple[int, float]]:
+        """Per-(query, segment) top-k -> [(doc_id, score)] best-first."""
+        seg = self.segment(seg_id)
+        qt = self.qterms(text)
+        if not qt:
+            return []
+        if mode == "wand":
+            hits = wand.wand_topk(seg, qt, k, self.avg_doc_len)
+        elif mode == "exhaustive":
+            hits = wand.exhaustive_topk(seg, qt, k, self.avg_doc_len)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        return [(int(seg.doc_ids[o]), s) for o, s in hits]
+
+    def search(self, text: str, k: int = 10, mode: str = "wand") -> list[dict]:
+        """Single-process search across all segments (serving / latency
+        benchmarks; same kernels as the distributed path)."""
+        cand: list[tuple[float, int, int]] = []  # (score, doc_id, seg_id)
+        for seg_id in range(len(self.segment_paths)):
+            for doc_id, score in self.score_segment(seg_id, text, k, mode):
+                cand.append((score, doc_id, seg_id))
+        cand.sort(key=lambda c: (-c[0], c[1]))
+        out = []
+        for rank, (score, doc_id, seg_id) in enumerate(cand[:k], 1):
+            seg = self.segment(seg_id)
+            o = int(np.searchsorted(seg.doc_ids, doc_id))
+            out.append(
+                {
+                    "rank": rank,
+                    "doc_id": doc_id,
+                    "score": score,
+                    "repo": str(seg.repo[o]),
+                    "path": str(seg.dpath[o]),
+                }
+            )
+        return out
+
+
+class SegmentScorer:
+    """A1: actor-pool map_batches stage.  __init__ loads index state
+    once per actor; __call__ scores a batch of (query_id, text, k,
+    seg_id) rows and emits per-(query, segment) partial top-k rows."""
+
+    def __init__(self, index_dir: str, mode: str = "wand"):
+        self.reader = IndexReader(index_dir)
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        ks = batch.column("k").to_pylist()
+        segs = batch.column("seg_id").to_pylist()
+        o_qid, o_k, o_did, o_score, o_repo, o_path = [], [], [], [], [], []
+        rd = self.reader
+        for qid, text, k, seg_id in zip(qids, texts, ks, segs):
+            seg = rd.segment(seg_id)
+            for doc_id, score in rd.score_segment(seg_id, text, k, self.mode):
+                o = int(np.searchsorted(seg.doc_ids, doc_id))
+                o_qid.append(qid)
+                o_k.append(k)
+                o_did.append(doc_id)
+                o_score.append(score)
+                o_repo.append(str(seg.repo[o]))
+                o_path.append(str(seg.dpath[o]))
+        return pa.table(
+            {
+                "query_id": pa.array(o_qid, pa.int64()),
+                "k": pa.array(o_k, pa.int32()),
+                "doc_id": pa.array(o_did, pa.int64()),
+                "score": pa.array(o_score, pa.float64()),
+                "repo": pa.array(o_repo, pa.string()),
+                "path": pa.array(o_path, pa.string()),
+            }
+        )
+
+
+def merge_topk(group: pa.Table) -> pa.Table:
+    """K3/K4: merge per-segment partials -> global top-k + rank.
+    doc_ids are disjoint across segments (document partitioning), so
+    this is pure selection by (score desc, doc_id asc)."""
+    scores = group.column("score").to_numpy()
+    doc_ids = group.column("doc_id").to_numpy()
+    k = int(group.column("k")[0].as_py())
+    order = np.lexsort((doc_ids, -scores))[:k]
+    sel = group.take(pa.array(order, pa.int64()))
+    n = sel.num_rows
+    return pa.table(
+        {
+            "query_id": sel.column("query_id"),
+            "rank": pa.array(np.arange(1, n + 1, dtype=np.int32), pa.int32()),
+            "doc_id": sel.column("doc_id"),
+            "score": sel.column("score"),
+            "repo": sel.column("repo"),
+            "path": sel.column("path"),
+        }
+    )
+
+
+def run_queries(
+    index_dir: str,
+    queries,
+    mode: str = "wand",
+    concurrency=(1, 16),
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed query evaluation -> Dataset with RESULTS schema.
+
+    ``queries``: list of {query_id, text, k} dicts or a Dataset with
+    those columns.  Each query is crossed with every segment id
+    (flat_map), scored by the actor pool, then merged per query_id.
+    """
+    n_segs = len(list_segments(index_dir))
+    if n_segs == 0:
+        raise ValueError(f"no segments under {index_dir}")
+    if not isinstance(queries, ray.data.Dataset):
+        queries = ray.data.from_items(
+            [
+                {
+                    "query_id": int(q["query_id"]),
+                    "text": q["text"],
+                    "k": int(q.get("k", 10)),
+                }
+                for q in queries
+            ]
+        )
+
+    def cross(row: dict) -> list[dict]:
+        return [
+            {
+                "query_id": row["query_id"],
+                "text": row["text"],
+                "k": row["k"],
+                "seg_id": s,
+            }
+            for s in range(n_segs)
+        ]
+
+    scored = queries.flat_map(cross).map_batches(
+        SegmentScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return scored.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
+def latency_profile(
+    index_dir: str, queries: list[dict], mode: str = "wand", min_executions: int = 1000
+) -> dict:
+    """p50/p99 per-query latency on a WARM reader (BASELINE.md metric):
+    repeats the query set until >= min_executions, single process, same
+    kernels as the actor path."""
+    rd = IndexReader(index_dir)
+    for q in queries:  # warm every segment + dictionary path
+        rd.search(q["text"], int(q.get("k", 10)), mode)
+    lat: list[float] = []
+    while len(lat) < min_executions:
+        for q in queries:
+            t0 = time.perf_counter()
+            rd.search(q["text"], int(q.get("k", 10)), mode)
+            lat.append(time.perf_counter() - t0)
+    a = np.array(lat)
+    return {
+        "executions": int(a.size),
+        "p50_ms": round(float(np.percentile(a, 50)) * 1e3, 3),
+        "p99_ms": round(float(np.percentile(a, 99)) * 1e3, 3),
+        "mean_ms": round(float(a.mean()) * 1e3, 3),
+        "qps_single_process": round(a.size / float(a.sum()), 1),
+        "mode": mode,
+    }

@@ -1,0 +1,108 @@
+"""Single-process reference implementation (Q4 — exhaustive oracle).
+
+Per SURVEY.md SS5.1: the reference mount was empty, so THIS module is the
+reference engine for rank-identity (BASELINE.json:14).  It is a plain
+dict-of-lists inverted index with exhaustive disjunctive scoring — no
+Ray, no compression, no pruning — sharing ONLY ``engine.analysis`` and
+``engine.bm25`` with the distributed engine.  The distributed WAND path
+must reproduce its top-k doc_ids, order and float64 scores exactly.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from . import analysis, bm25
+from .ids import doc_id_of
+
+
+class RefIndex:
+    """In-memory index over corpus rows (dicts with repo/path/commit/
+    lang/content).  Duplicate (repo,path,commit) keys keep the first
+    occurrence by (doc_id, content_sha256) order — same D1 rule as the
+    distributed build."""
+
+    def __init__(self, rows, analyzer: str = "code"):
+        self.analyzer_name = analyzer
+        az = analysis.get_analyzer(analyzer)
+        self.postings: dict[str, list[tuple[int, int]]] = {}
+        self.positions: dict[tuple[str, int], list[int]] = {}
+        self.doc_len: dict[int, int] = {}
+        self.doc_meta: dict[int, dict] = {}
+        import hashlib
+
+        cand = []
+        for row in rows:
+            did = doc_id_of(row["repo"], row["path"], row["commit"])
+            sha = hashlib.sha256(row["content"].encode()).hexdigest()
+            cand.append((did, sha, row))
+        # D1: deterministic dedup — keep first by (doc_id, sha) order
+        cand.sort(key=lambda d: (d[0], d[1]))
+        kept, prev = [], None
+        for did, sha, row in cand:
+            if did == prev:
+                continue
+            prev = did
+            kept.append((did, row, sha))
+        for did, row, sha in kept:
+            toks = az(row["content"])
+            self.doc_len[did] = len(toks)
+            self.doc_meta[did] = {
+                "repo": row["repo"],
+                "path": row["path"],
+                "commit": row["commit"],
+                "lang": row["lang"],
+                "content_sha256": sha,
+            }
+            tf = Counter(toks)
+            pos: dict[str, list[int]] = {}
+            for i, t in enumerate(toks):
+                pos.setdefault(t, []).append(i)
+            for t, c in tf.items():
+                self.postings.setdefault(t, []).append((did, c))
+                self.positions[(t, did)] = pos[t]
+        for t in self.postings:
+            self.postings[t].sort()
+        self.num_docs = len(self.doc_len)
+        self.total_doc_len = sum(self.doc_len.values())
+        self.avg_doc_len = self.total_doc_len / self.num_docs if self.num_docs else 0.0
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    def analyze_query(self, text: str) -> list[str]:
+        """Dedupe analyzed terms preserving first occurrence (M8)."""
+        az = analysis.get_analyzer(self.analyzer_name)
+        seen, out = set(), []
+        for t in az(text):
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+
+    def topk(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exhaustive disjunctive BM25 top-k; ties broken doc_id asc.
+
+        Scores are summed in analyzed-query-term order per doc — the
+        exact float64 op order the distributed engine replicates
+        (engine/bm25.py determinism contract).
+        """
+        terms = self.analyze_query(text)
+        scores: dict[int, float] = {}
+        for t in terms:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            idf_t = bm25.idf(len(plist), self.num_docs)
+            for did, tf in plist:
+                contrib = idf_t * bm25.tf_part(
+                    float(tf), float(self.doc_len[did]), self.avg_doc_len
+                )
+                scores[did] = scores.get(did, 0.0) + contrib
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+        return ranked[:k]
+
+
+def table_rows(table) -> list[dict]:
+    """pyarrow.Table -> list of row dicts (test helper)."""
+    return table.to_pylist()

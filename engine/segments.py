@@ -1,0 +1,439 @@
+"""Compressed on-disk index segments: build (S3), layout, reader (Q1 data).
+
+Spec: BASELINE.json:6 — "distributed sort-merge of partial postings into
+a compressed on-disk index (delta-encoded docID gaps + varbyte blocks
+with skip pointers)", "checkpointed segment writes that allow resume
+after failure".
+
+Segment = one document partition (part = doc_id % P; engine/__init__.py
+architecture note).  Layout under ``<out>/segments/seg-{part:05d}/``:
+
+- ``docs.parquet``   — this partition's documents sorted by doc_id; the
+  ROW INDEX is the document's local ordinal.  Postings store ordinals,
+  so docID gaps are small and varbyte-compress well; ordinal -> doc_id
+  is an array lookup at query time.
+- ``postings.bin``   — three sections, [docs][tfs][positions]:
+    * doc section: per term, ordinal gaps in 128-posting blocks
+      (absolute restart at each block start -> a block decodes without
+      its predecessor: that block table IS the skip-pointer structure);
+    * tf section: per term, varbyte tfs, block-aligned offsets;
+    * pos section: per term, per posting, position gaps (first
+      absolute), varbyte; only read by positional queries, never by
+      BM25 scoring.
+- ``dict.parquet``   — per term: local df/cf/max_tf + byte extents of
+  its three stream slices (schema engine.schema.SEGMENT_DICT).
+- ``blockmax.parquet`` — per term: per-block last ordinal (skip
+  pointer), max tf (block-max WAND bound), block byte offsets.
+- ``manifest.json``  — lineage + metrics (written LAST = commit marker;
+  see engine.checkpoint).
+
+Everything in the build path is vectorized numpy/arrow over the whole
+segment — one dictionary-encode, one stable argsort, one varbyte pass
+per stream; no Python loop over postings.
+
+Writes are atomic: build into ``seg-XXXXX.tmp-<pid>``, rename into
+place; a concurrent retry losing the rename race discards its copy
+(segment bytes are deterministic, so both copies are identical).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import mmap
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .codecs import delta_encode, vb_decode, vb_encode
+from .schema import POSTINGS_BLOCK
+
+SEG_PREFIX = "seg-"
+
+
+def _arr(table: pa.Table, name: str) -> pa.Array:
+    """Column as a single contiguous pa.Array (not ChunkedArray)."""
+    col = table.column(name)
+    if col.num_chunks == 1:
+        return col.chunk(0)
+    if col.num_chunks == 0:
+        return pa.array([], type=col.type)
+    return col.combine_chunks()
+
+
+def seg_dir(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, "segments", f"{SEG_PREFIX}{part:05d}")
+
+
+# ---------------------------------------------------------------------------
+# Build
+# ---------------------------------------------------------------------------
+
+
+def _dedup_sorted(group: pa.Table) -> tuple[pa.Table, int]:
+    """D1: sort by (doc_id, content_sha256), keep first row per doc_id.
+
+    Returns (docs sorted by doc_id — row index is the local ordinal,
+    number of duplicate rows dropped).
+    """
+    doc_id = group.column("doc_id").to_numpy(zero_copy_only=False)
+    sha = group.column("content_sha256").to_numpy(zero_copy_only=False)
+    order = np.lexsort((sha, doc_id))
+    sorted_ids = doc_id[order]
+    keep = np.ones(order.size, dtype=bool)
+    keep[1:] = sorted_ids[1:] != sorted_ids[:-1]
+    kept = order[keep]
+    return group.take(pa.array(kept, pa.int64())), int(order.size - kept.size)
+
+
+def _exclusive_cumsum(x: np.ndarray) -> np.ndarray:
+    out = np.empty(x.size + 1, dtype=np.int64)
+    out[0] = 0
+    np.cumsum(x, out=out[1:])
+    return out
+
+
+def build_segment(group: pa.Table, out_dir: str, part: int, analyzer: str) -> dict:
+    """Invert one partition's ANALYZED_DOC rows into a compressed segment.
+
+    Returns the manifest dict (also written to disk, atomically).
+    """
+    t0 = time.perf_counter()
+    group = group.combine_chunks()
+    docs, dup_dropped = _dedup_sorted(group)
+    n_docs = docs.num_rows
+
+    doc_lens = docs.column("doc_len").to_numpy()
+
+    # ---- flatten per-doc postings -> parallel arrays of length M ----
+    terms_list = _arr(docs, "terms")
+    tfs_list = _arr(docs, "tfs")
+    pos_list = _arr(docs, "poslists")
+    counts = pc.list_value_length(terms_list).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_terms = terms_list.flatten()
+    flat_tfs = tfs_list.flatten().to_numpy().astype(np.int64)
+    flat_pos = pos_list.flatten()  # list<int32>, length M
+    m = len(flat_terms)
+    ord_rep = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+    # ---- sort postings by (term, ordinal) via dictionary codes ----
+    # terms are sorted within each doc and docs are scanned in ordinal
+    # order, so a STABLE sort on the term code alone yields (term, ord).
+    if m:
+        denc = pc.dictionary_encode(flat_terms)
+        codes = denc.indices.to_numpy().astype(np.int64)
+        uniq = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        uniq_order = np.argsort(uniq)  # unicode code-point order (== python sorted)
+        rank = np.empty(uniq.size, dtype=np.int64)
+        rank[uniq_order] = np.arange(uniq.size)
+        sorted_codes = rank[codes]
+        perm = np.argsort(sorted_codes, kind="stable")
+        p_code = sorted_codes[perm]
+        p_ord = ord_rep[perm]
+        p_tf = flat_tfs[perm]
+        vocab = uniq[uniq_order]
+    else:
+        perm = np.zeros(0, dtype=np.int64)
+        p_code = p_ord = p_tf = np.zeros(0, dtype=np.int64)
+        vocab = np.zeros(0, dtype=object)
+    n_terms = vocab.size
+
+    # ---- term runs and 128-posting blocks ----
+    term_starts = np.nonzero(np.diff(p_code, prepend=-1))[0] if m else np.zeros(0, dtype=np.int64)
+    term_bounds = np.append(term_starts, m)  # len V+1
+    df_local = np.diff(term_bounds)
+    nblocks = (df_local + POSTINGS_BLOCK - 1) // POSTINGS_BLOCK
+    total_blocks = int(nblocks.sum())
+    block_bounds = _exclusive_cumsum(nblocks)  # per-term first block index, len V+1
+    within = np.arange(total_blocks, dtype=np.int64) - np.repeat(block_bounds[:-1], nblocks)
+    block_starts = np.repeat(term_starts, nblocks) + within * POSTINGS_BLOCK
+    block_ends = np.minimum(
+        block_starts + POSTINGS_BLOCK, np.repeat(term_bounds[1:], nblocks)
+    )
+
+    # ---- doc-ordinal stream: delta with restart at every block ----
+    doc_deltas = delta_encode(p_ord, block_starts)
+    doc_bytes, nb_doc = vb_encode(doc_deltas)
+    off_doc = _exclusive_cumsum(nb_doc)  # byte offset of posting i in doc section
+
+    # ---- tf stream ----
+    tf_bytes, nb_tf = vb_encode(p_tf)
+    off_tf = _exclusive_cumsum(nb_tf)
+
+    # ---- positions stream: per-posting gaps, first absolute ----
+    if m:
+        flat_pos_perm = flat_pos.take(pa.array(perm, pa.int64()))
+        pos_counts = (
+            pc.list_value_length(flat_pos_perm).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        pos_values = flat_pos_perm.flatten().to_numpy().astype(np.int64)
+        posting_pos_starts = _exclusive_cumsum(pos_counts)  # len M+1
+        pos_deltas = delta_encode(pos_values, posting_pos_starts[:-1][pos_counts > 0])
+        pos_bytes, nb_pos = vb_encode(pos_deltas)
+        off_pos = _exclusive_cumsum(nb_pos)
+        term_pos_value_bounds = posting_pos_starts[term_bounds]
+    else:
+        pos_bytes = b""
+        off_pos = np.zeros(1, dtype=np.int64)
+        term_pos_value_bounds = np.zeros(1, dtype=np.int64)
+
+    # ---- per-term absolute byte extents (sections concatenated) ----
+    doc_sec_len = len(doc_bytes)
+    tf_sec_len = len(tf_bytes)
+    term_doc_off = off_doc[term_bounds]  # len V+1
+    term_tf_off = off_tf[term_bounds]
+    term_pos_off = off_pos[term_pos_value_bounds]
+
+    dict_table = pa.table(
+        {
+            "term": pa.array(vocab.tolist(), pa.string()),
+            "df": pa.array(df_local, pa.int64()),
+            "cf": pa.array(
+                np.add.reduceat(p_tf, term_starts) if m else np.zeros(0, np.int64),
+                pa.int64(),
+            ),
+            "n_postings": pa.array(df_local.astype(np.int32), pa.int32()),
+            "max_tf": pa.array(
+                (np.maximum.reduceat(p_tf, term_starts) if m else np.zeros(0, np.int64)).astype(
+                    np.int32
+                ),
+                pa.int32(),
+            ),
+            "doc_off": pa.array(term_doc_off[:-1], pa.int64()),
+            "doc_nbytes": pa.array(np.diff(term_doc_off), pa.int64()),
+            "tf_off": pa.array(term_tf_off[:-1] + doc_sec_len, pa.int64()),
+            "tf_nbytes": pa.array(np.diff(term_tf_off), pa.int64()),
+            "pos_off": pa.array(term_pos_off[:-1] + doc_sec_len + tf_sec_len, pa.int64()),
+            "pos_nbytes": pa.array(np.diff(term_pos_off), pa.int64()),
+        }
+    )
+
+    # ---- block table (skip pointers + block-max) ----
+    boffs_dtype = pa.list_(pa.int64())
+    if total_blocks:
+        last_ords = p_ord[block_ends - 1]
+        blk_max_tf = np.maximum.reduceat(p_tf, block_starts)
+        blk_doc_boffs = off_doc[block_starts] - np.repeat(term_doc_off[:-1], nblocks)
+        blk_tf_boffs = off_tf[block_starts] - np.repeat(term_tf_off[:-1], nblocks)
+    else:
+        last_ords = blk_max_tf = blk_doc_boffs = blk_tf_boffs = np.zeros(0, np.int64)
+    boff32 = pa.array(block_bounds, pa.int32())
+    blockmax_table = pa.table(
+        {
+            "term": dict_table.column("term"),
+            "last_dids": pa.ListArray.from_arrays(boff32, pa.array(last_ords, pa.int64())),
+            "max_tfs": pa.ListArray.from_arrays(
+                boff32, pa.array(blk_max_tf.astype(np.int32), pa.int32())
+            ),
+            "doc_boffs": pa.ListArray.from_arrays(boff32, pa.array(blk_doc_boffs, pa.int64())),
+            "tf_boffs": pa.ListArray.from_arrays(boff32, pa.array(blk_tf_boffs, pa.int64())),
+        }
+    ) if n_terms else pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "last_dids": pa.array([], boffs_dtype),
+            "max_tfs": pa.array([], pa.list_(pa.int32())),
+            "doc_boffs": pa.array([], boffs_dtype),
+            "tf_boffs": pa.array([], boffs_dtype),
+        }
+    )
+
+    docs_table = docs.select(
+        ["doc_id", "doc_len", "repo", "path", "commit", "lang", "content_sha256"]
+    )
+
+    # ---- atomic write: tmp dir -> rename ----
+    final = seg_dir(out_dir, part)
+    tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "postings.bin"), "wb") as f:
+        f.write(doc_bytes)
+        f.write(tf_bytes)
+        f.write(pos_bytes)
+    pq.write_table(dict_table, os.path.join(tmp, "dict.parquet"))
+    pq.write_table(blockmax_table, os.path.join(tmp, "blockmax.parquet"))
+    pq.write_table(docs_table, os.path.join(tmp, "docs.parquet"))
+
+    sha_roll = hashlib.sha256()
+    for s in docs_table.column("content_sha256").to_pylist():
+        sha_roll.update(s.encode())
+    manifest = {
+        "part": int(part),
+        "analyzer": analyzer,
+        "num_docs": int(n_docs),
+        "dup_rows_dropped": int(dup_dropped),
+        "vocab_size": int(n_terms),
+        "num_postings": int(m),
+        "total_doc_len": int(doc_lens.sum()) if n_docs else 0,
+        "min_doc_len": int(doc_lens.min()) if n_docs else 0,
+        "content_sha256_rollup": sha_roll.hexdigest(),
+        "postings_bytes": doc_sec_len + tf_sec_len + len(pos_bytes),
+        "sections": {"doc": doc_sec_len, "tf": tf_sec_len, "pos": len(pos_bytes)},
+        "build_seconds": round(time.perf_counter() - t0, 4),
+    }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # lost the race to a retried copy of this task; bytes are
+        # deterministic, so the winner's segment is identical.
+        if os.path.isdir(final):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    return manifest
+
+
+def empty_segment(out_dir: str, part: int, analyzer: str) -> dict:
+    """Write a valid zero-doc segment (parts with no documents)."""
+    from .postings import ANALYZED_DOC
+
+    return build_segment(ANALYZED_DOC.empty_table(), out_dir, part, analyzer)
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+
+class Segment:
+    """Read-side view of one segment, loaded once per scorer actor (A1).
+
+    The dictionary and block tables are held as in-memory arrays keyed
+    by a term->row hash map; postings.bin is mmapped so block decodes
+    slice without copying the file into the heap.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        d = pq.read_table(os.path.join(path, "dict.parquet"))
+        self.term_idx: dict[str, int] = {
+            t: i for i, t in enumerate(d.column("term").to_pylist())
+        }
+        self.df = d.column("df").to_numpy()
+        self.cf = d.column("cf").to_numpy()
+        self.max_tf = d.column("max_tf").to_numpy()
+        self.doc_off = d.column("doc_off").to_numpy()
+        self.doc_nbytes = d.column("doc_nbytes").to_numpy()
+        self.tf_off = d.column("tf_off").to_numpy()
+        self.tf_nbytes = d.column("tf_nbytes").to_numpy()
+        self.pos_off = d.column("pos_off").to_numpy()
+        self.pos_nbytes = d.column("pos_nbytes").to_numpy()
+        self.n_postings = d.column("n_postings").to_numpy()
+
+        b = pq.read_table(os.path.join(path, "blockmax.parquet"))
+        self.blk_last = _list_col(b, "last_dids")
+        self.blk_max_tf = _list_col(b, "max_tfs")
+        self.blk_doc_boffs = _list_col(b, "doc_boffs")
+        self.blk_tf_boffs = _list_col(b, "tf_boffs")
+
+        docs = pq.read_table(os.path.join(path, "docs.parquet"))
+        self.doc_ids = docs.column("doc_id").to_numpy()
+        self.doc_lens = docs.column("doc_len").to_numpy().astype(np.float64)
+        self.repo = docs.column("repo").to_numpy(zero_copy_only=False)
+        self.dpath = docs.column("path").to_numpy(zero_copy_only=False)
+        self.num_docs = len(self.doc_ids)
+        self.min_doc_len = float(self.doc_lens.min()) if self.num_docs else 1.0
+
+        with open(os.path.join(path, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self._f = open(os.path.join(path, "postings.bin"), "rb")
+        size = os.fstat(self._f.fileno()).st_size
+        self.buf: memoryview | bytes
+        if size:
+            self.buf = memoryview(mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ))
+        else:
+            self.buf = b""
+
+    # -- full-list decode (exhaustive scoring / tests) --
+
+    def decode_term(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Full posting list -> (ordinals asc, tfs), vectorized."""
+        i = self.term_idx.get(term)
+        if i is None:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return self.decode_idx(i)
+
+    def decode_idx(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        n = int(self.n_postings[i])
+        deltas = vb_decode(
+            self.buf[self.doc_off[i] : self.doc_off[i] + self.doc_nbytes[i]], count=n
+        ).astype(np.int64)
+        boffs = self.blk_doc_boffs[i]
+        # segmented cumsum: absolute restart at every block start
+        ords = np.cumsum(deltas)
+        if len(boffs) > 1:
+            starts = np.arange(0, n, POSTINGS_BLOCK)
+            corr = ords[starts[1:] - 1]
+            reset = np.zeros(n, dtype=np.int64)
+            reset[starts[1:]] = np.diff(np.concatenate(([0], corr)))
+            ords = ords - np.cumsum(reset)
+        tfs = vb_decode(
+            self.buf[self.tf_off[i] : self.tf_off[i] + self.tf_nbytes[i]], count=n
+        ).astype(np.int64)
+        return ords, tfs
+
+    def decode_positions(self, term: str) -> list[np.ndarray]:
+        """Per-posting position arrays (phrase/positional queries)."""
+        i = self.term_idx.get(term)
+        if i is None:
+            return []
+        _, tfs = self.decode_idx(i)
+        flat = vb_decode(
+            self.buf[self.pos_off[i] : self.pos_off[i] + self.pos_nbytes[i]],
+            count=int(tfs.sum()),
+        ).astype(np.int64)
+        out = []
+        start = 0
+        for c in tfs:
+            c = int(c)
+            out.append(np.cumsum(flat[start : start + c]))
+            start += c
+        return out
+
+    def decode_block(self, i: int, blk: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode one 128-posting block of term row i -> (ords, tfs)."""
+        boffs = self.blk_doc_boffs[i]
+        toffs = self.blk_tf_boffs[i]
+        n = int(self.n_postings[i])
+        lo = blk * POSTINGS_BLOCK
+        cnt = min(POSTINGS_BLOCK, n - lo)
+        d0 = int(self.doc_off[i] + boffs[blk])
+        d1 = int(
+            self.doc_off[i] + (boffs[blk + 1] if blk + 1 < len(boffs) else self.doc_nbytes[i])
+        )
+        ords = np.cumsum(vb_decode(self.buf[d0:d1], count=cnt).astype(np.int64))
+        t0 = int(self.tf_off[i] + toffs[blk])
+        t1 = int(
+            self.tf_off[i] + (toffs[blk + 1] if blk + 1 < len(toffs) else self.tf_nbytes[i])
+        )
+        tfs = vb_decode(self.buf[t0:t1], count=cnt).astype(np.int64)
+        return ords, tfs
+
+
+def _list_col(t: pa.Table, name: str) -> list[np.ndarray]:
+    col = _arr(t, name)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    return [flat[bounds[i] : bounds[i + 1]] for i in range(len(lens))]
+
+
+def list_segments(out_dir: str) -> list[str]:
+    root = os.path.join(out_dir, "segments")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith(SEG_PREFIX)
+        and not ".tmp-" in d
+        and os.path.exists(os.path.join(root, d, "manifest.json"))
+    )

@@ -1,0 +1,258 @@
+"""Query evaluation kernels (Q1-Q4): posting iterators, DAAT, block-max
+WAND, exhaustive scoring.
+
+Spec: BASELINE.json:6 — "document-at-a-time posting-list intersection
+with block-max WAND pruning and a bounded top-k heap".  Algorithms per
+[LIT-WAND] Broder et al. 2003 and [LIT-BMW] Ding & Suel 2011; both
+paths return EXACT top-k (safe pruning) and must be rank-identical to
+engine.refimpl (tests/test_rank_identity.py, property-tested in
+tests/test_wand.py).
+
+Determinism contract (engine/bm25.py): when a candidate document is
+fully evaluated, per-term contributions are summed in ANALYZED-QUERY-
+TERM ORDER — never in the WAND sorted-by-current-doc order — so float64
+scores are bit-identical to the oracle's.
+
+Tie-break everywhere: score desc, then doc_id asc.  Pruning uses
+``sum(upper_bounds) >= theta`` (not >) so exact-tie candidates are
+always evaluated; upper bounds are inflated by one part in 2^40
+(bm25.UB_EPS) against float rounding.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from . import bm25
+from .schema import POSTINGS_BLOCK
+from .segments import Segment
+
+DONE = 1 << 62
+
+
+class TermIterator:
+    """Q1: lazy block-decoding cursor over one term's posting list.
+
+    ``advance(target)`` uses the per-block last-ordinal table (the skip
+    pointers) to jump whole blocks without decoding them; only the
+    landing block is varbyte-decoded.
+    """
+
+    __slots__ = (
+        "seg", "row", "idf", "max_ub", "blk_last", "blk_max_tf",
+        "n", "nblocks", "cur_blk", "blk_ords", "blk_tfs", "pos", "cur",
+    )
+
+    def __init__(self, seg: Segment, row: int, idf: float, avg_doc_len: float):
+        self.seg = seg
+        self.row = row
+        self.idf = idf
+        self.blk_last = seg.blk_last[row]
+        self.blk_max_tf = seg.blk_max_tf[row]
+        self.n = int(seg.n_postings[row])
+        self.nblocks = len(self.blk_last)
+        # term-level upper bound: max tf over the list, min doc_len in segment
+        self.max_ub = bm25.upper_bound(
+            float(seg.max_tf[row]), seg.min_doc_len, idf, avg_doc_len
+        )
+        self.cur_blk = -1
+        self.blk_ords: np.ndarray | None = None
+        self.blk_tfs: np.ndarray | None = None
+        self.pos = 0
+        self.cur = DONE
+        self._load(0)
+
+    def _load(self, blk: int) -> None:
+        if blk >= self.nblocks:
+            self.cur = DONE
+            return
+        self.blk_ords, self.blk_tfs = self.seg.decode_block(self.row, blk)
+        self.cur_blk = blk
+        self.pos = 0
+        self.cur = int(self.blk_ords[0])
+
+    def block_ub(self, avg_doc_len: float) -> float:
+        """Block-max upper bound for the CURRENT block ([LIT-BMW])."""
+        return bm25.upper_bound(
+            float(self.blk_max_tf[self.cur_blk]), self.seg.min_doc_len,
+            self.idf, avg_doc_len,
+        )
+
+    def block_last(self) -> int:
+        return int(self.blk_last[self.cur_blk]) if self.cur_blk < self.nblocks else DONE
+
+    def tf(self) -> int:
+        return int(self.blk_tfs[self.pos])
+
+    def next(self) -> int:
+        if self.cur == DONE:
+            return DONE
+        p = self.pos + 1
+        if self.blk_ords is not None and p < len(self.blk_ords):
+            self.pos = p
+            self.cur = int(self.blk_ords[p])
+        else:
+            self._load(self.cur_blk + 1)
+        return self.cur
+
+    def advance(self, target: int) -> int:
+        """Skip to the first posting with ordinal >= target."""
+        if self.cur >= target:
+            return self.cur
+        if target > int(self.blk_last[self.cur_blk]):
+            blk = self.cur_blk + int(
+                np.searchsorted(self.blk_last[self.cur_blk:], target, side="left")
+            )
+            if blk >= self.nblocks:
+                self.cur = DONE
+                return DONE
+            self._load(blk)
+            if self.cur >= target:
+                return self.cur
+        p = int(np.searchsorted(self.blk_ords, target, side="left"))
+        if p >= len(self.blk_ords):  # unreachable: blk_last >= target
+            self._load(self.cur_blk + 1)
+            return self.cur
+        self.pos = p
+        self.cur = int(self.blk_ords[p])
+        return self.cur
+
+
+class TopK:
+    """K2: bounded top-k heap; order = (score desc, doc_id asc).
+
+    heapq min-heap over (score, -doc_id): the root is the CURRENT
+    WORST qualifying entry; a candidate qualifies iff
+    (score, -doc_id) > root."""
+
+    __slots__ = ("k", "heap")
+
+    def __init__(self, k: int):
+        self.k = k
+        self.heap: list[tuple[float, int]] = []
+
+    def theta(self) -> float:
+        return self.heap[0][0] if len(self.heap) >= self.k else -1.0
+
+    def offer(self, score: float, doc_id: int) -> None:
+        item = (score, -doc_id)
+        if len(self.heap) < self.k:
+            heapq.heappush(self.heap, item)
+        elif item > self.heap[0]:
+            heapq.heapreplace(self.heap, item)
+
+    def ranked(self) -> list[tuple[int, float]]:
+        """[(doc_id, score)] best-first."""
+        return [(-nd, s) for s, nd in sorted(self.heap, reverse=True)]
+
+
+def _evaluate(iters_in_qorder: list[TermIterator], d: int, doc_len: float,
+              avg_doc_len: float) -> float:
+    """Full evaluation of candidate d: sum in analyzed-query-term order."""
+    score = 0.0
+    for it in iters_in_qorder:
+        if it.cur < d:
+            it.advance(d)
+        if it.cur == d:
+            score += it.idf * bm25.tf_part(float(it.tf()), doc_len, avg_doc_len)
+    return score
+
+
+def wand_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
+              avg_doc_len: float) -> list[tuple[int, float]]:
+    """Q3: block-max WAND over one segment.
+
+    qterms = [(term, idf)] in analyzed-query order (duplicates removed).
+    Returns [(local ordinal, score)] best-first, exact.
+    """
+    iters_q: list[TermIterator] = []
+    for term, idf in qterms:
+        row = seg.term_idx.get(term)
+        if row is not None and seg.n_postings[row] > 0:
+            iters_q.append(TermIterator(seg, row, idf, avg_doc_len))
+    if not iters_q:
+        return []
+    topk = TopK(k)
+    live = list(iters_q)
+    while True:
+        live = [it for it in live if it.cur != DONE]
+        if not live:
+            break
+        live.sort(key=lambda it: it.cur)
+        # pivot: first prefix whose term-level UB sum can beat theta
+        theta = topk.theta()
+        acc = 0.0
+        pivot = -1
+        for i, it in enumerate(live):
+            acc += it.max_ub
+            if acc >= theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # no prefix can qualify -> done
+        d = live[pivot].cur
+        if live[0].cur == d:
+            # block-max refinement: tighter per-block bound at d
+            bacc = 0.0
+            for it in live:
+                if it.cur > d:
+                    break
+                # it.cur <= d and it.blk_last >= it.cur; ensure block holds d
+                if it.block_last() < d:
+                    it.advance(d)
+                    if it.cur == DONE or it.cur > d:
+                        continue
+                bacc += it.block_ub(avg_doc_len)
+            if bacc >= theta:
+                score = _evaluate(iters_q, d, float(seg.doc_lens[d]), avg_doc_len)
+                topk.offer(score, int(seg.doc_ids[d]))
+            for it in live:
+                if it.cur == d:
+                    it.next()
+        else:
+            # advance an iterator that is strictly BEFORE d (one must
+            # exist: live[0].cur != d); picking one already at d would
+            # no-op and livelock.  Among those, pick the largest UB
+            # (moves the most pruning power forward, [LIT-WAND]).
+            best = max(
+                (i for i in range(pivot) if live[i].cur < d),
+                key=lambda i: live[i].max_ub,
+            )
+            live[best].advance(d)
+    # map doc_id-ranked heap back to ordinals for the caller
+    out = []
+    for doc_id, score in topk.ranked():
+        out.append((int(np.searchsorted(seg.doc_ids, doc_id)), score))
+    return out
+
+
+def exhaustive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
+                    avg_doc_len: float) -> list[tuple[int, float]]:
+    """Q4 in-segment: vectorized disjunctive scoring of every matching
+    doc; numpy elementwise ops mirror bm25.tf_part's scalar op order
+    exactly, and per-doc accumulation happens in query-term order, so
+    scores are bit-identical to the scalar paths."""
+    n = seg.num_docs
+    if n == 0:
+        return []
+    scores = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+    dl = seg.doc_lens
+    for term, idf in qterms:
+        ords, tfs = seg.decode_term(term)
+        if ords.size == 0:
+            continue
+        tf = tfs.astype(np.float64)
+        d = dl[ords]
+        contrib = idf * ((tf * (bm25.K1 + 1.0)) /
+                         (tf + bm25.K1 * (1.0 - bm25.B + bm25.B * (d / avg_doc_len))))
+        scores[ords] += contrib
+        touched[ords] = True
+    cand = np.nonzero(touched)[0]
+    if cand.size == 0:
+        return []
+    order = np.lexsort((seg.doc_ids[cand], -scores[cand]))[:k]
+    sel = cand[order]
+    return [(int(o), float(scores[o])) for o in sel]

@@ -1,0 +1,60 @@
+"""Top-k rank identity: distributed engine (WAND and exhaustive paths)
+vs the single-process oracle — identical doc_ids, identical order,
+float64 scores equal within 1e-9 (BASELINE.json:14; SURVEY.md §5.1).
+"""
+
+import pytest
+
+from engine.query import IndexReader, run_queries
+
+
+def _ref_topk(ref, text, k):
+    return ref.topk(text, k)
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "wand"])
+def test_local_rank_identity(built_index, mode):
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    mismatches = []
+    for q in built_index["queries"]:
+        want = _ref_topk(ref, q["text"], q["k"])
+        got = rd.search(q["text"], q["k"], mode=mode)
+        got_pairs = [(r["doc_id"], r["score"]) for r in got]
+        if [d for d, _ in got_pairs] != [d for d, _ in want]:
+            mismatches.append((q["text"], got_pairs, want))
+            continue
+        for (gd, gs), (wd, ws) in zip(got_pairs, want):
+            if abs(gs - ws) > 1e-9:
+                mismatches.append((q["text"], got_pairs, want))
+                break
+    assert not mismatches, f"{len(mismatches)} queries mismatch: {mismatches[:3]}"
+
+
+def test_distributed_rank_identity(built_index):
+    ref = built_index["ref"]
+    queries = built_index["queries"][:20]
+    res = run_queries(
+        built_index["out"], queries, mode="wand", concurrency=(1, 2)
+    ).take_all()
+    by_q: dict[int, list] = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in queries:
+        want = _ref_topk(ref, q["text"], q["k"])
+        got = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], q["text"]
+        for r, (_, ws) in zip(got, want):
+            assert abs(r["score"] - ws) <= 1e-9
+        # rank column is 1..n
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+        # metadata enrichment matches the oracle's doc_meta
+        for r in got:
+            meta = ref.doc_meta[r["doc_id"]]
+            assert r["repo"] == meta["repo"] and r["path"] == meta["path"]
+
+
+def test_empty_and_oov_queries(built_index):
+    rd = IndexReader(built_index["out"])
+    assert rd.search("zzzznotfound", 10) == []
+    assert rd.search("", 10) == []
