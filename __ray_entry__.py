@@ -298,7 +298,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_nostem": _bm25_sql(),
         "groupby_lineitem": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
-            "sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_price_cents, "
+            "CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
             "count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "topk_orders": (
@@ -307,7 +307,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "join_customer_orders": (
             "SELECT c.c_custkey, c.c_name, count(*) AS num_orders, "
-            "sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS total_spent_cents "
+            "CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_spent_cents "
             "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
             "GROUP BY c.c_custkey, c.c_name"
         ),

@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Benchmark entrypoint (driver-run, SURVEY.md §4.4 / BASELINE.md protocol).
+
+Headline pipeline: full inverted-index build (code analyzer: tokenize ->
+Porter stem -> postings -> partition shuffle -> compressed segments) over
+the documents-derived corpus at $GRAFT_SF_DIR, then BM25 top-k serving:
+a distributed query batch through the actor-pool scorer plus a warm
+single-process latency profile (p50/p99).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"index_build": sec, "bm25_query_batch": sec, ...},
+   "sf": ..., "num_cpus": N, "docs_per_sec": ..., "postings_per_sec": ...,
+   "query_p50_ms": ..., "query_p99_ms": ...}
+
+--scaling: runs the SAME pipeline in two fresh subprocesses
+(ray.init(num_cpus=8) then num_cpus=32) on the same input and reports
+both throughputs + scaling efficiency (T_8 / T_32) / 4 — the sandbox
+proxy for the N- vs 4N-node cluster criterion (BASELINE.json:2,14).
+
+Owns its Ray session (ray.init/shutdown) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _sf_tag(sf_dir: str) -> float | str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return base
+
+
+# Query workload: code-analyzer terms that hit the Zipf head and tail.
+BENCH_QUERIES = [
+    {"query_id": 0, "text": "data processing pipeline", "k": 10},
+    {"query_id": 1, "text": "distributed training model", "k": 10},
+    {"query_id": 2, "text": "query engine", "k": 10},
+    {"query_id": 3, "text": "index", "k": 10},
+    {"query_id": 4, "text": "stream batch window", "k": 10},
+    {"query_id": 5, "text": "user event log record", "k": 10},
+    {"query_id": 6, "text": "hash join merge sort", "k": 10},
+    {"query_id": 7, "text": "read write file system", "k": 10},
+]
+
+
+def run_bench(sf_dir: str, num_cpus: int, repeat: int, keep_index: bool = False) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from engine.build import build_index
+    from engine.corpus import read_corpus_from_documents
+    from engine.query import latency_profile, run_queries
+
+    out = tempfile.mkdtemp(prefix="graft_bench_idx_")
+    num_parts = max(64, num_cpus * 2)
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    corpus = read_corpus_from_documents(sf_dir, repeat=repeat)
+    stats = build_index(
+        corpus,
+        out,
+        num_parts=num_parts,
+        analyzer="code",
+        analyzer_concurrency=(2, num_cpus),
+        source=f"{sf_dir} x{repeat}",
+    )
+    timings["index_build"] = round(time.perf_counter() - t0, 3)
+
+    # distributed query batch through the actor pool (one row per query x
+    # segment partial, merged per query_id)
+    t0 = time.perf_counter()
+    res = run_queries(
+        out, BENCH_QUERIES, mode="wand", concurrency=(1, max(2, num_cpus // 2))
+    )
+    n_results = res.count()
+    timings["bm25_query_batch"] = round(time.perf_counter() - t0, 3)
+
+    # warm single-process latency profile (serving-path p50/p99)
+    prof = latency_profile(out, BENCH_QUERIES, mode="wand", min_executions=400)
+
+    if not keep_index:
+        shutil.rmtree(out, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "index_build+bm25_query wall time (documents-derived corpus)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_tag(sf_dir),
+        "num_cpus": num_cpus,
+        "num_docs": stats["num_docs"],
+        "total_postings": stats["total_postings"],
+        "docs_per_sec": round(stats["num_docs"] / timings["index_build"], 1),
+        "postings_per_sec": round(stats["total_postings"] / timings["index_build"], 1),
+        "n_query_results": n_results,
+        "query_p50_ms": prof["p50_ms"],
+        "query_p99_ms": prof["p99_ms"],
+        "query_qps_single_process": prof["qps_single_process"],
+    }
+
+
+def run_scaling(sf_dir: str, repeat: int, cpus_lo: int, cpus_hi: int) -> dict:
+    """Same job, two fresh processes at cpus_lo and cpus_hi."""
+    runs = {}
+    for cpus in (cpus_lo, cpus_hi):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env.pop("RAY_ADDRESS", None)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sf-dir", sf_dir,
+             "--repeat", str(repeat)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+        if p.returncode != 0 or not line:
+            raise RuntimeError(f"bench subprocess (cpus={cpus}) failed: {p.stderr[-2000:]}")
+        runs[cpus] = json.loads(line[-1])
+    lo, hi = runs[cpus_lo], runs[cpus_hi]
+    factor = cpus_hi / cpus_lo
+    # throughput-based efficiency on the build (the dominant stage)
+    eff_build = (lo["queries"]["index_build"] / hi["queries"]["index_build"]) / factor
+    eff_total = (lo["value"] / hi["value"]) / factor
+    return {
+        "metric": f"scaling efficiency {cpus_lo}->{cpus_hi} cpus (fresh processes, same input)",
+        "value": round(eff_build, 3),
+        "unit": "efficiency",
+        "queries": {
+            f"index_build_{cpus_lo}cpu": lo["queries"]["index_build"],
+            f"index_build_{cpus_hi}cpu": hi["queries"]["index_build"],
+            f"total_{cpus_lo}cpu": lo["value"],
+            f"total_{cpus_hi}cpu": hi["value"],
+        },
+        "sf": lo["sf"],
+        "num_cpus": cpus_hi,
+        "scaling_factor": factor,
+        "efficiency_build": round(eff_build, 3),
+        "efficiency_total": round(eff_total, 3),
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "postings_per_sec_lo": lo["postings_per_sec"],
+        "postings_per_sec_hi": hi["postings_per_sec"],
+        "runs": {str(c): runs[c] for c in runs},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--repeat", type=int, default=int(os.environ.get("GRAFT_BENCH_REPEAT", "20")),
+                    help="deterministic corpus replication factor (5000 docs x 20 = 100k)")
+    ap.add_argument("--scaling", action="store_true",
+                    help="run at two CPU counts in fresh processes, report efficiency")
+    ap.add_argument("--cpus-lo", type=int, default=8)
+    ap.add_argument("--cpus-hi", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.scaling:
+        result = run_scaling(args.sf_dir, args.repeat, args.cpus_lo, args.cpus_hi)
+    else:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        result = run_bench(args.sf_dir, num_cpus, args.repeat)
+        import ray
+
+        ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
