@@ -210,6 +210,85 @@ def _q_join_customer_orders(sf_dir: str):
     )
 
 
+# --- training-data pipeline operators (dedup / similarity / text / media) ---
+
+
+def _q_dedup_exact(sf_dir: str):
+    from engine import dedup
+
+    return dedup.exact_dedup(sf_dir)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from engine import dedup
+
+    return dedup.ngram_jaccard_pairs(sf_dir, n=3, threshold=0.5)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from engine import dedup
+
+    return dedup.minhash_lsh_pairs(sf_dir, n=3, threshold=0.5)
+
+
+def _q_simhash(sf_dir: str):
+    from engine import dedup
+
+    return dedup.simhash_fingerprints(sf_dir)
+
+
+def _q_embedding_dups(sf_dir: str):
+    # threshold 0.4: the synthetic embeddings are near-orthogonal random
+    # vectors (max off-diagonal cosine ~0.51 at sf0.01), so a
+    # near-dup-grade 0.9 threshold matches nothing; 0.4 exercises the
+    # operator end-to-end with a non-empty, oracle-checkable result.
+    from engine import dedup
+
+    return dedup.embedding_dup_pairs(sf_dir, threshold=0.4)
+
+
+def _q_knn_bruteforce(sf_dir: str):
+    from engine import similarity
+
+    return similarity.knn_bruteforce(sf_dir, k=5, n_queries=10)
+
+
+def _q_knn_lsh(sf_dir: str):
+    from engine import similarity
+
+    return similarity.knn_lsh(sf_dir, k=5, n_queries=10, nbits=8, probe_hamming=3)
+
+
+def _q_token_counts(sf_dir: str):
+    from engine import textanalysis
+
+    return textanalysis.token_counts(sf_dir)
+
+
+def _q_quality_scores(sf_dir: str):
+    from engine import textanalysis
+
+    return textanalysis.quality_scores(sf_dir)
+
+
+def _q_language_id(sf_dir: str):
+    from engine import textanalysis
+
+    return textanalysis.language_id(sf_dir)
+
+
+def _q_fingerprint_md5(sf_dir: str):
+    from engine import textanalysis
+
+    return textanalysis.fingerprints(sf_dir).select_columns(["doc_id", "md5"])
+
+
+def _q_media_decode(sf_dir: str):
+    from engine import multimodal
+
+    return multimodal.media_pipeline(sf_dir, "decode")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_lengths": _q_doc_lengths,
@@ -221,6 +300,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "groupby_lineitem": _q_groupby_lineitem,
         "topk_orders": _q_topk_orders,
         "join_customer_orders": _q_join_customer_orders,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash_fingerprints": _q_simhash,
+        "embedding_dup_pairs": _q_embedding_dups,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_lsh": _q_knn_lsh,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "language_id": _q_language_id,
+        "fingerprint_md5": _q_fingerprint_md5,
+        "media_decode": _q_media_decode,
     }
 
 
@@ -311,4 +402,91 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
             "GROUP BY c.c_custkey, c.c_name"
         ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "ngram_jaccard_pairs": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tk FROM tok
+),
+sh AS (
+  SELECT DISTINCT t1.doc_id, t1.tk || ' ' || t2.tk || ' ' || t3.tk AS s
+  FROM tokpos t1
+  JOIN tokpos t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+  JOIN tokpos t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT inter.a, inter.b,
+       CAST(round(i * 1.0 / (ca.c + cb.c - i), 6) AS DOUBLE) AS jaccard_r
+FROM inter
+JOIN cnt ca ON inter.a = ca.doc_id
+JOIN cnt cb ON inter.b = cb.doc_id
+WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.5
+""",
+        "embedding_dup_pairs": """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE)
+         AS cosine_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+        "knn_bruteforce": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS c
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+  FROM s
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, CAST(c AS DOUBLE) AS cosine_r
+FROM r WHERE rk <= 5
+""",
+        "token_counts": r"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+    AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n]')) AS BIGINT)
+    AS n_re_tokens
+FROM documents
+""",
+        "quality_scores": """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(w) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+  CAST(CASE WHEN len(w) = 0 THEN 0.0
+       ELSE round(len(list_distinct(w)) * 1.0 / len(w), 6) END AS DOUBLE)
+    AS distinct_ratio_r,
+  CAST(CASE WHEN len(w) = 0 THEN 0.0
+       ELSE round(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 6) END
+    AS DOUBLE) AS mean_token_len_r
+FROM t
+""",
+        "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        # minhash_lsh_pairs, simhash_fingerprints, knn_lsh, language_id,
+        # media_decode: approximate / heuristic / binary-codec operators —
+        # not SQL-expressible; rows-only driver check + pytest oracles
+        # (tests/test_dedup.py, test_similarity.py, test_textanalysis.py,
+        # test_multimodal.py).
     }

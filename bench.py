@@ -108,7 +108,7 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int, keep_index: bool = False)
     build_index(
         read_corpus_from_documents("/root/testdata/sf0.001"),
         warm, num_parts=4, analyzer="code",
-        analyzer_concurrency=(2, num_cpus), source="warmup",
+        analyzer_concurrency=(1, max(1, num_cpus - 1)), source="warmup",
     )
     shutil.rmtree(warm, ignore_errors=True)
 
@@ -123,7 +123,8 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int, keep_index: bool = False)
         out,
         num_parts=num_parts,
         analyzer="code",
-        analyzer_concurrency=(2, num_cpus),
+        analyzer_concurrency=(max(1, num_cpus // 2), max(1, num_cpus - 1)),
+        merge_num_cpus=2.0 if num_cpus > 16 else 1.0,
         source=f"{sf_dir} x{repeat}",
     )
     timings["index_build"] = round(time.perf_counter() - t0, 3)
@@ -132,13 +133,13 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int, keep_index: bool = False)
     # segment partial, merged per query_id)
     t0 = time.perf_counter()
     res = run_queries(
-        out, BENCH_QUERIES, mode="wand", concurrency=(1, max(2, num_cpus // 2))
+        out, BENCH_QUERIES, mode="auto", concurrency=(1, max(1, num_cpus // 2))
     )
     n_results = res.count()
     timings["bm25_query_batch"] = round(time.perf_counter() - t0, 3)
 
     # warm single-process latency profile (serving-path p50/p99)
-    prof = latency_profile(out, BENCH_QUERIES, mode="wand", min_executions=200)
+    prof = latency_profile(out, BENCH_QUERIES, mode="auto", min_executions=200)
 
     if not keep_index:
         shutil.rmtree(out, ignore_errors=True)
@@ -210,12 +211,12 @@ def run_scaling(sf_dir: str, repeat: int, cpus_lo: int, cpus_hi: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--repeat", type=int, default=int(os.environ.get("GRAFT_BENCH_REPEAT", "20")),
-                    help="deterministic corpus replication factor (5000 docs x 20 = 100k)")
+    ap.add_argument("--repeat", type=int, default=int(os.environ.get("GRAFT_BENCH_REPEAT", "100")),
+                    help="deterministic corpus replication factor (5000 docs x 100 = 500k)")
     ap.add_argument("--scaling", action="store_true",
                     help="run at two CPU counts in fresh processes, report efficiency")
-    ap.add_argument("--cpus-lo", type=int, default=8)
-    ap.add_argument("--cpus-hi", type=int, default=32)
+    ap.add_argument("--cpus-lo", type=int, default=2)
+    ap.add_argument("--cpus-hi", type=int, default=8)
     args = ap.parse_args()
 
     if args.scaling:

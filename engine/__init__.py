@@ -4,10 +4,21 @@ A from-scratch rebuild of the capabilities of ``glennga/search-engine``
 (spec: /root/repo/BASELINE.json north_star) expressed Ray-Data-first:
 
 - index build = ``read_parquet -> map_batches (ids/sha) -> map_batches
-  (analyzer actor pool -> postings rows) -> groupby(part).map_groups
-  (sort-merge + varbyte encode + atomic segment write)``
-- query = stateful actor-pool scorers (block-max WAND over compressed
-  segments) -> ``groupby(query_id).map_groups`` top-k merge.
+  (analyzer actor pool) -> content-addressed partial-run files ->
+  per-partition merge tasks (sort-merge + varbyte encode + atomic
+  segment write)``.  The exchange is SPIMI-style run files on (shared)
+  storage instead of a Ray all-to-all — measured faster, resumable,
+  retry-idempotent (engine/postings.py rationale).
+- query = stateful actor-pool scorers (adaptive: block-max WAND for
+  selective queries, vectorized term-at-a-time for Zipf-head queries —
+  both exact; engine/wand.py auto_topk) ->
+  ``groupby(query_id).map_groups`` top-k merge.
+- training-data operators: dedup (exact / n-gram Jaccard / MinHash+LSH
+  / SimHash / embedding-cosine, engine/dedup.py), similarity search
+  (brute-force + LSH ANN, engine/similarity.py), text analysis
+  (lang-ID, quality, token counts, fingerprints,
+  engine/textanalysis.py), multimodal binary-column plumbing
+  (engine/multimodal.py).
 
 Architecture note (deviation from SURVEY.md SS4.2, deliberate): segments
 are DOCUMENT-partitioned (hash(doc_id) % P), not term-partitioned.  Each

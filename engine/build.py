@@ -62,7 +62,8 @@ def build_index(
     analyzer: str = "code",
     resume: bool = False,
     analyzer_concurrency=(1, 32),
-    analyzer_batch_size: int | None = 2048,
+    analyzer_batch_size: int | None = 4096,
+    merge_num_cpus: float = 2.0,
     source: str = "corpus",
 ) -> dict:
     """Build (or resume) the index at ``out_dir``.  Returns build metrics."""
@@ -136,9 +137,11 @@ def build_index(
             }
             for p in remaining
         ]
-        parts_ds = ray.data.from_items(items).repartition(len(items))
-        parts_ds.map_batches(
-            merge_part, batch_format="pyarrow", batch_size=None
+        # batch_size=1 -> one merge task per partition (no repartition
+        # all-to-all needed to spread the part list across tasks)
+        ray.data.from_items(items).map_batches(
+            merge_part, batch_format="pyarrow", batch_size=1,
+            num_cpus=merge_num_cpus,
         ).materialize()
         shutil.rmtree(os.path.join(out_dir, "runs"), ignore_errors=True)
 

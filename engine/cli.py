@@ -138,7 +138,7 @@ def main(argv: list[str] | None = None) -> int:
     q = sub.add_parser("query", help="run BM25 top-k queries")
     q.add_argument("index")
     q.add_argument("queries", help="JSONL or parquet with query_id,text,k")
-    q.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
+    q.add_argument("--mode", default="auto", choices=["auto", "wand", "exhaustive"])
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--out", default=None, help="write results parquet here")
     q.add_argument("--latency", action="store_true")
@@ -152,7 +152,7 @@ def main(argv: list[str] | None = None) -> int:
 
     be = sub.add_parser("bench", help="headline benchmark (delegates to bench.py)")
     be.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    be.add_argument("--repeat", type=int, default=20)
+    be.add_argument("--repeat", type=int, default=100)
     be.add_argument("--scaling", action="store_true")
     be.set_defaults(fn=cmd_bench)
 

@@ -105,14 +105,16 @@ class IndexReader:
         return out
 
     def score_segment(
-        self, seg_id: int, text: str, k: int, mode: str = "wand"
+        self, seg_id: int, text: str, k: int, mode: str = "auto"
     ) -> list[tuple[int, float]]:
         """Per-(query, segment) top-k -> [(doc_id, score)] best-first."""
         seg = self.segment(seg_id)
         qt = self.qterms(text)
         if not qt:
             return []
-        if mode == "wand":
+        if mode == "auto":
+            hits = wand.auto_topk(seg, qt, k, self.avg_doc_len)
+        elif mode == "wand":
             hits = wand.wand_topk(seg, qt, k, self.avg_doc_len)
         elif mode == "exhaustive":
             hits = wand.exhaustive_topk(seg, qt, k, self.avg_doc_len)
@@ -120,7 +122,7 @@ class IndexReader:
             raise ValueError(f"unknown mode {mode!r}")
         return [(int(seg.doc_ids[o]), s) for o, s in hits]
 
-    def search(self, text: str, k: int = 10, mode: str = "wand") -> list[dict]:
+    def search(self, text: str, k: int = 10, mode: str = "auto") -> list[dict]:
         """Single-process search across all segments (serving / latency
         benchmarks; same kernels as the distributed path)."""
         cand: list[tuple[float, int, int]] = []  # (score, doc_id, seg_id)
@@ -149,7 +151,7 @@ class SegmentScorer:
     once per actor; __call__ scores a batch of (query_id, text, k,
     seg_id) rows and emits per-(query, segment) partial top-k rows."""
 
-    def __init__(self, index_dir: str, mode: str = "wand"):
+    def __init__(self, index_dir: str, mode: str = "auto"):
         self.reader = IndexReader(index_dir)
         self.mode = mode
 
@@ -207,7 +209,7 @@ def merge_topk(group: pa.Table) -> pa.Table:
 def run_queries(
     index_dir: str,
     queries,
-    mode: str = "wand",
+    mode: str = "auto",
     concurrency=(1, 16),
     batch_size: int = 64,
 ) -> "ray.data.Dataset":
@@ -254,7 +256,7 @@ def run_queries(
 
 
 def latency_profile(
-    index_dir: str, queries: list[dict], mode: str = "wand", min_executions: int = 1000
+    index_dir: str, queries: list[dict], mode: str = "auto", min_executions: int = 1000
 ) -> dict:
     """p50/p99 per-query latency on a WARM reader (BASELINE.md metric):
     repeats the query set until >= min_executions, single process, same

@@ -351,6 +351,11 @@ class Segment:
             self.buf = memoryview(mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ))
         else:
             self.buf = b""
+        # decoded-postings LRU (hot Zipf-head terms are decoded on every
+        # query otherwise); bounded by posting count, not entries
+        self._dec_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._dec_cached_postings = 0
+        self._dec_cache_max = 4_000_000  # postings (~64 MB at 16 B each)
 
     # -- full-list decode (exhaustive scoring / tests) --
 
@@ -360,6 +365,24 @@ class Segment:
         if i is None:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         return self.decode_idx(i)
+
+    def decode_idx_cached(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """decode_idx through the bounded LRU (read-only result!)."""
+        hit = self._dec_cache.get(i)
+        if hit is not None:
+            # move to MRU position
+            del self._dec_cache[i]
+            self._dec_cache[i] = hit
+            return hit
+        out = self.decode_idx(i)
+        n = len(out[0])
+        if n <= self._dec_cache_max:
+            while self._dec_cached_postings + n > self._dec_cache_max and self._dec_cache:
+                old = next(iter(self._dec_cache))
+                self._dec_cached_postings -= len(self._dec_cache.pop(old)[0])
+            self._dec_cache[i] = out
+            self._dec_cached_postings += n
+        return out
 
     def decode_idx(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         n = int(self.n_postings[i])

@@ -1,0 +1,218 @@
+"""Similarity search over an embedding column (``list<float>``) — the
+training-data-pipeline ANN family.
+
+Baseline: brute-force cosine top-k — the query matrix is normalized
+once, broadcast via ``ray.put``, and every batch does one numpy matmul
+against it, keeping per-batch top-k partials that a small
+groupby-merge reduces to global top-k.  Exact, and the yardstick the
+approximate variant is tested against (tests/test_similarity.py).
+
+Scale path: random-hyperplane LSH bucketing — each vector maps to a
+``nbits``-bit signature; queries probe their own bucket plus all
+buckets within Hamming distance ``probe_hamming``.  The bucket id is a
+groupby key (hash-uniform for random planes), so candidate generation
+is a bucket-colocated exchange instead of an all-pairs matmul; recall
+is tuned by (nbits, probe_hamming).
+
+All operators read only (vec_id, embedding) columns (pruned at the
+read), compute in float64 for cross-engine determinism, and round
+reported similarities to 6 dp (the DuckDB oracle computes the same
+cosine with ``list_cosine_similarity``; see __ray_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .functions import round6
+
+
+def _normalized(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query workload: the ``n_queries`` lowest vec_ids."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    order = np.argsort(ids)[:n_queries]
+    mat = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    return ids[order], _normalized(mat[order])
+
+
+def knn_bruteforce(
+    sf_dir: str, k: int = 5, n_queries: int = 10
+) -> "ray.data.Dataset":
+    """Exact cosine top-k: (query_id, rank, vec_id, cosine_r).
+
+    Ties and float equality are resolved by (rounded cosine desc,
+    vec_id asc) so ranks are total-ordered and engine-independent.
+    """
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    ref = ray.put((q_ids, q_mat))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy()
+        m = _normalized(
+            np.vstack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        sims = round6(qmat @ m.T)  # [n_queries x batch]
+        nq = len(qids)
+        kk = min(k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(nq):
+            row = sims[qi]
+            # partial top-k within the batch: (sim desc, vec_id asc)
+            order = np.lexsort((ids, -row))[:kk]
+            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            out_v.append(ids[order])
+            out_s.append(row[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine_r": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        sims = group.column("cosine_r").to_numpy()
+        ids = group.column("vec_id").to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.full(n, group.column("query_id")[0].as_py(), np.int64), pa.int64()
+                ),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "cosine_r": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate variant
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int, nbits: int) -> np.ndarray:
+    rng = np.random.RandomState(0x5EED)
+    return rng.standard_normal((dim, nbits)).astype(np.float64)
+
+
+def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes) > 0
+    weights = (1 << np.arange(planes.shape[1], dtype=np.int64))
+    return bits @ weights
+
+
+def knn_lsh(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    nbits: int = 8,
+    probe_hamming: int = 2,
+) -> "ray.data.Dataset":
+    """Approximate cosine top-k via random-hyperplane LSH buckets.
+
+    Vectors land in bucket = sign-bit signature; each query is scored
+    only against vectors whose bucket is within ``probe_hamming`` bits
+    of its own.  Output schema matches knn_bruteforce; recall vs the
+    exact operator is property-tested, not guaranteed 1.0.
+    """
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    ref = ray.put((q_ids, q_mat))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(ref)
+        planes = _planes(qmat.shape[1], nbits)
+        qsig = _signatures(qmat, planes)
+        ids = batch.column("vec_id").to_numpy()
+        m = _normalized(
+            np.vstack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        vsig = _signatures(m, planes)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            x = np.bitwise_xor(vsig, qsig[qi])
+            ham = np.zeros(len(x), dtype=np.int64)
+            xx = x.copy()
+            for _ in range(nbits):
+                ham += xx & 1
+                xx >>= 1
+            cand = np.nonzero(ham <= probe_hamming)[0]
+            if cand.size == 0:
+                continue
+            sims = round6(m[cand] @ qmat[qi])
+            kk = min(k, cand.size)
+            order = np.lexsort((ids[cand], -sims))[:kk]
+            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            out_v.append(ids[cand][order])
+            out_s.append(sims[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine_r": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine_r": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        sims = group.column("cosine_r").to_numpy()
+        ids = group.column("vec_id").to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.full(n, group.column("query_id")[0].as_py(), np.int64), pa.int64()
+                ),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "cosine_r": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )

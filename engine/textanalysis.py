@@ -1,0 +1,183 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All run over the ``documents`` table (doc_id, text) as single
+``map_batches`` projections — stateless, vectorized where the kernel
+allows, no shuffle (each is a per-row derivation).  SQL-replicable
+outputs (token counts, quality ratios, md5 fingerprints) have DuckDB
+oracles in __ray_entry__; the heuristic ones (language ID, winnowing)
+are rows-only checked plus pytest-verified.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .functions import round6, round6_scalar
+
+# BPE-ish word/number/punctuation splitter used for token counting:
+# letter runs, digit runs, or single non-space symbols.
+_BPEISH = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+# Tiny per-language stopword profiles (language-ID heuristic).  The
+# driver documents table carries lang in {en,es,de,fr,zh}; profiles are
+# common function words per language (public knowledge).
+_LANG_PROFILES: dict[str, frozenset] = {
+    "en": frozenset("the of and to in is that it for with as on at by from".split()),
+    "es": frozenset("el la de que y en los del se las por un con una su para".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf ist im".split()),
+    "fr": frozenset("le de la et les des en un du une que est pour dans par".split()),
+    "zh": frozenset("的 一 是 在 不 了 有 和 人 这 中 大 为 上 个".split()),
+}
+_LANG_ORDER = sorted(_LANG_PROFILES)  # deterministic tie-break order
+
+
+def _texts(batch: pa.Table) -> list[str]:
+    return batch.column("text").to_pylist()
+
+
+def token_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_ws_tokens, n_re_tokens): whitespace tokens and BPE-ish
+    regex tokens per document.  Oracle: string_split + regexp_split."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = _texts(batch)
+        ws = np.array([len([t for t in s.split(" ") if t]) for s in texts], np.int64)
+        re_n = np.array([len(_BPEISH.findall(s.lower())) for s in texts], np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_ws_tokens": pa.array(ws, pa.int64()),
+                "n_re_tokens": pa.array(re_n, pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc quality heuristics, all DuckDB-replicable:
+    (doc_id, n_chars, n_tokens, n_distinct, distinct_ratio_r,
+    mean_token_len_r).  Ratios rounded to 6 dp."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = _texts(batch)
+        n = len(texts)
+        n_chars = np.empty(n, np.int64)
+        n_tok = np.empty(n, np.int64)
+        n_dis = np.empty(n, np.int64)
+        mean_len = np.empty(n, np.float64)
+        for i, s in enumerate(texts):
+            toks = [t for t in s.split(" ") if t]
+            n_chars[i] = len(s)
+            n_tok[i] = len(toks)
+            n_dis[i] = len(set(toks))
+            mean_len[i] = (
+                round6_scalar(sum(len(t) for t in toks) / len(toks)) if toks else 0.0
+            )
+        ratio = round6(
+            np.divide(n_dis, n_tok, out=np.zeros(n, np.float64), where=n_tok > 0)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_distinct": pa.array(n_dis, pa.int64()),
+                "distinct_ratio_r": pa.array(ratio, pa.float64()),
+                "mean_token_len_r": pa.array(mean_len, pa.float64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def language_id(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, pred_lang, score_r): stopword-profile language guess.
+
+    score = hits(best profile) / tokens; ties broken by language code
+    order (deterministic).  Heuristic — rows-only driver check; the
+    plumbing and determinism are pytest-verified."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = _texts(batch)
+        preds, scores = [], []
+        for s in texts:
+            toks = [t for t in s.lower().split() if t]
+            best_lang, best_hits = _LANG_ORDER[0], -1
+            for lang in _LANG_ORDER:
+                prof = _LANG_PROFILES[lang]
+                hits = sum(1 for t in toks if t in prof)
+                if hits > best_hits:
+                    best_lang, best_hits = lang, hits
+            preds.append(best_lang)
+            scores.append(round6_scalar(best_hits / len(toks)) if toks else 0.0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array(preds, pa.string()),
+                "score_r": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, md5, winnow64): exact content fingerprint (md5 hex —
+    DuckDB-replicable) + a winnowing rolling-hash fingerprint
+    (min-sampled 64-bit Rabin-style hash over 8-char windows;
+    near-identical texts collide — rows-only)."""
+
+    def winnow(s: str, w: int = 8) -> int:
+        data = s.encode()
+        if len(data) < w:
+            return _fnv(data)
+        # rolling polynomial hash, base 257 mod 2^61-1
+        MOD = (1 << 61) - 1
+        B = 257
+        pw = pow(B, w - 1, MOD)
+        h = 0
+        best = MOD
+        for i, byte in enumerate(data):
+            if i >= w:
+                h = (h - data[i - w] * pw) % MOD
+            h = (h * B + byte) % MOD
+            if i >= w - 1 and h < best:
+                best = h
+        return best
+
+    def _fnv(b: bytes) -> int:
+        h = 0xCBF29CE484222325
+        for x in b:
+            h = ((h ^ x) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h & ((1 << 61) - 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = _texts(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "md5": pa.array(
+                    [hashlib.md5(s.encode()).hexdigest() for s in texts], pa.string()
+                ),
+                "winnow64": pa.array([winnow(s) for s in texts], pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")

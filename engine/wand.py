@@ -228,6 +228,28 @@ def wand_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
     return out
 
 
+AUTO_EXHAUSTIVE_FRAC = 0.02  # Σ local df / num_docs above which pruning can't win
+
+
+def auto_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
+              avg_doc_len: float) -> list[tuple[int, float]]:
+    """Adaptive scoring policy: block-max WAND prunes per-posting in
+    interpreted Python (~µs/step), the exhaustive path scores
+    vectorized (~tens of ns/posting).  WAND therefore only wins when
+    the query is SELECTIVE (it can skip almost everything); on
+    Zipf-head terms ('data', 'def', 'import' ... present in most docs)
+    vectorized term-at-a-time is 10-40x faster.  Both are exact, so the
+    choice is pure performance policy."""
+    total_df = 0
+    for term, _ in qterms:
+        row = seg.term_idx.get(term)
+        if row is not None:
+            total_df += int(seg.df[row])
+    if seg.num_docs and total_df / seg.num_docs >= AUTO_EXHAUSTIVE_FRAC:
+        return exhaustive_topk(seg, qterms, k, avg_doc_len)
+    return wand_topk(seg, qterms, k, avg_doc_len)
+
+
 def exhaustive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
                     avg_doc_len: float) -> list[tuple[int, float]]:
     """Q4 in-segment: vectorized disjunctive scoring of every matching
@@ -241,7 +263,10 @@ def exhaustive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
     touched = np.zeros(n, dtype=bool)
     dl = seg.doc_lens
     for term, idf in qterms:
-        ords, tfs = seg.decode_term(term)
+        row = seg.term_idx.get(term)
+        if row is None:
+            continue
+        ords, tfs = seg.decode_idx_cached(row)
         if ords.size == 0:
             continue
         tf = tfs.astype(np.float64)

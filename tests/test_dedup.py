@@ -1,0 +1,134 @@
+"""Dedup operator tests: exact vs DuckDB, n-gram Jaccard vs a local
+oracle, MinHash-LSH recall vs the exact pairs, SimHash block index
+completeness, embedding-cosine pairs vs numpy."""
+
+import numpy as np
+import pytest
+
+from engine import dedup
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.01"
+
+
+def _local_shingles(sf_dir, n):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = {}
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = [w.lower() for w in text.split(" ") if w]
+        out[did] = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    return out
+
+
+def test_exact_dedup_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    got = sorted(r["doc_id"] for r in dedup.exact_dedup(sf_dir).take_all())
+    con = duckdb.connect()
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT min(doc_id) FROM read_parquet('{sf_dir}/documents.parquet') "
+            "GROUP BY md5(text)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_ngram_jaccard_vs_local_oracle(ray_session, sf_dir):
+    n, thr = 3, 0.5
+    got = {
+        (r["a"], r["b"]): r["jaccard_r"]
+        for r in dedup.ngram_jaccard_pairs(sf_dir, n=n, threshold=thr).take_all()
+    }
+    sh = _local_shingles(sf_dir, n)
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh[a], sh[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= thr:
+                want[(a, b)] = round(j, 6)
+    assert got == want
+
+
+def test_minhash_lsh_pairs_subset_and_recall(ray_session, sf_dir):
+    """Verified LSH pairs must be exact-correct (same jaccard, all >=
+    threshold); recall vs the exact operator follows banding theory and
+    must be high at j >= 0.7."""
+    thr = 0.5
+    lsh = {
+        (r["a"], r["b"]): r["jaccard_r"]
+        for r in dedup.minhash_lsh_pairs(sf_dir, n=3, threshold=thr).take_all()
+    }
+    exact = {
+        (r["a"], r["b"]): r["jaccard_r"]
+        for r in dedup.ngram_jaccard_pairs(sf_dir, n=3, threshold=thr).take_all()
+    }
+    # soundness: every reported pair is a true pair with the true score
+    for pair, j in lsh.items():
+        assert pair in exact and abs(j - exact[pair]) < 1e-9
+    # recall on confidently-similar pairs
+    strong = {p for p, j in exact.items() if j >= 0.7}
+    if strong:
+        found = len(strong & set(lsh))
+        assert found / len(strong) >= 0.9
+
+
+def test_simhash_identical_texts_collide(ray_session, sf_dir):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(sf_dir).take_all()}
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    by_text = {}
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        by_text.setdefault(text, []).append(did)
+    for text, ids in by_text.items():
+        if len(ids) > 1:
+            assert len({fps[d] for d in ids}) == 1  # identical text -> same simhash
+    # pairs at hamming 0 must include every identical-text pair
+    pairs = {
+        (r["a"], r["b"])
+        for r in dedup.simhash_dup_pairs(sf_dir, max_hamming=3).take_all()
+        if r["hamming"] == 0
+    }
+    for text, ids in by_text.items():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in pairs
+
+
+def test_embedding_dup_pairs_vs_numpy(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+
+    thr = 0.4
+    got = {
+        (r["a"], r["b"]): r["cosine_r"]
+        for r in dedup.embedding_dup_pairs(sf_dir, threshold=thr).take_all()
+    }
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    sims = m @ m.T
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and sims[i, j] >= thr:
+                want[(int(ids[i]), int(ids[j]))] = round(float(sims[i, j]), 6)
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-6

@@ -12,7 +12,7 @@ def _ref_topk(ref, text, k):
     return ref.topk(text, k)
 
 
-@pytest.mark.parametrize("mode", ["exhaustive", "wand"])
+@pytest.mark.parametrize("mode", ["exhaustive", "wand", "auto"])
 def test_local_rank_identity(built_index, mode):
     ref = built_index["ref"]
     rd = IndexReader(built_index["out"])

@@ -1,0 +1,75 @@
+"""Similarity-search tests: brute-force vs numpy oracle; LSH soundness
+(reported sims exact) + recall vs brute force."""
+
+import numpy as np
+import pytest
+
+from engine import similarity
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.01"
+
+
+def _numpy_topk(sf_dir, k, n_queries):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    order = np.argsort(ids)[:n_queries]
+    out = {}
+    for qi in order:
+        sims = np.round(m @ m[qi], 6)
+        sel = np.lexsort((ids, -sims))[:k]
+        out[int(ids[qi])] = [(int(ids[s]), float(sims[s])) for s in sel]
+    return out
+
+
+def test_bruteforce_matches_numpy(ray_session, sf_dir):
+    k, nq = 5, 8
+    got = {}
+    for r in similarity.knn_bruteforce(sf_dir, k=k, n_queries=nq).take_all():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine_r"]))
+    want = _numpy_topk(sf_dir, k, nq)
+    assert set(got) == set(want)
+    for qid, rows in got.items():
+        rows.sort()
+        assert [(v, round(s, 6)) for _, v, s in rows] == [
+            (v, round(s, 6)) for v, s in want[qid]
+        ], qid
+
+
+def test_lsh_sound_and_recall(ray_session, sf_dir):
+    k, nq = 5, 8
+    exact = _numpy_topk(sf_dir, k, nq)
+    got = {}
+    for r in similarity.knn_lsh(sf_dir, k=k, n_queries=nq, nbits=8, probe_hamming=3).take_all():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine_r"]))
+    # soundness: reported cosine values are the true ones
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    idx = {int(v): i for i, v in enumerate(ids)}
+    recalls = []
+    for qid, rows in got.items():
+        for _, vid, s in rows:
+            true = round(float(m[idx[qid]] @ m[idx[vid]]), 6)
+            assert abs(s - true) < 1e-6
+        top_exact = {v for v, _ in exact[qid]}
+        top_lsh = {v for _, v, _ in rows}
+        recalls.append(len(top_exact & top_lsh) / len(top_exact))
+    # probing 3 of 8 bits keeps recall well above chance; self-match
+    # (query is its own nearest neighbor) must always be found
+    assert np.mean(recalls) >= 0.5
+    for qid, rows in got.items():
+        assert qid in {v for _, v, _ in rows}
