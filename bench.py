@@ -113,7 +113,9 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int, keep_index: bool = False)
     shutil.rmtree(warm, ignore_errors=True)
 
     out = tempfile.mkdtemp(prefix="graft_bench_idx_")
-    num_parts = max(64, num_cpus * 2)
+    # keep per-partition merge size roughly constant (~16k docs) so the
+    # merge stage's working set stays cache-friendly at any corpus size
+    num_parts = max(64, num_cpus * 2, (repeat * 5000) // 16000)
     timings: dict[str, float] = {}
 
     t0 = time.perf_counter()
@@ -211,14 +213,17 @@ def run_scaling(sf_dir: str, repeat: int, cpus_lo: int, cpus_hi: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--repeat", type=int, default=int(os.environ.get("GRAFT_BENCH_REPEAT", "100")),
-                    help="deterministic corpus replication factor (5000 docs x 100 = 500k)")
+    ap.add_argument("--repeat", type=int, default=None,
+                    help="deterministic corpus replication factor "
+                         "(default: 100 -> 500k docs; 600 -> 3M for --scaling)")
     ap.add_argument("--scaling", action="store_true",
                     help="run at two CPU counts in fresh processes, report efficiency")
     ap.add_argument("--cpus-lo", type=int, default=2)
     ap.add_argument("--cpus-hi", type=int, default=8)
     args = ap.parse_args()
 
+    if args.repeat is None:
+        args.repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "600" if args.scaling else "100"))
     if args.scaling:
         result = run_scaling(args.sf_dir, args.repeat, args.cpus_lo, args.cpus_hi)
     else:

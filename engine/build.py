@@ -42,8 +42,20 @@ import ray.data
 
 from . import checkpoint
 from .ids import assign_ids
-from .postings import AnalyzeWriteRuns, read_run_groups
+from .postings import AnalyzeWriteRuns, load_run_parts
 from .segments import build_segment, list_segments
+
+def _split_evenly(seq, n_chunks: int):
+    """Split seq into n_chunks near-equal contiguous chunks."""
+    n = len(seq)
+    out = []
+    start = 0
+    for i in range(n_chunks):
+        end = start + (n - start) // (n_chunks - i)
+        out.append(seq[start:end])
+        start = end
+    return [c for c in out if c]
+
 
 SUMMARY_SCHEMA = pa.schema(
     [
@@ -64,6 +76,7 @@ def build_index(
     analyzer_concurrency=(1, 32),
     analyzer_batch_size: int | None = 4096,
     merge_num_cpus: float = 2.0,
+    merge_tasks: int | None = None,
     source: str = "corpus",
 ) -> dict:
     """Build (or resume) the index at ``out_dir``.  Returns build metrics."""
@@ -104,43 +117,61 @@ def build_index(
             concurrency=analyzer_concurrency,
         ).take_all()  # tiny: one row per (analyze task, part touched)
 
-        # ---- stage 2: P independent merge+write tasks, each handed the
-        # exact (run file, row group) list for its partition ----
+        # ---- stage 2: merge+write tasks; each task handles a RANGE of
+        # partitions so every run file is opened (footer-parsed) once
+        # per task, not once per partition — per-part opens made the
+        # exchange O(P x files) and dominated low-parallelism runs ----
         refs_by_part: dict[int, list[tuple[str, int]]] = {p: [] for p in remaining}
         for r in run_summary:
             refs_by_part[int(r["part"])].append((r["run_path"], int(r["row_group"])))
 
-        def merge_part(batch: pa.Table) -> pa.Table:
+        if merge_tasks is None:
+            try:
+                cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                cluster_cpus = 8
+            merge_tasks = max(1, int(4 * cluster_cpus / max(merge_num_cpus, 1)))
+        chunks = [
+            list(c)
+            for c in _split_evenly(remaining, min(len(remaining), merge_tasks))
+        ]
+
+        def merge_chunk(batch: pa.Table) -> pa.Table:
             rows = []
-            for part, paths, rgs in zip(
-                batch.column("part").to_pylist(),
+            for parts, paths, rgs, rgp in zip(
+                batch.column("parts").to_pylist(),
                 batch.column("paths").to_pylist(),
                 batch.column("rgs").to_pylist(),
+                batch.column("rg_parts").to_pylist(),
             ):
-                group = read_run_groups(list(zip(paths, rgs)))
-                man = build_segment(group, out_dir, int(part), analyzer)
-                rows.append(
-                    {
-                        "part": int(part),
-                        "num_docs": man["num_docs"],
-                        "num_postings": man["num_postings"],
-                        "build_seconds": man["build_seconds"],
-                    }
-                )
+                groups = load_run_parts(parts, list(zip(paths, rgs, rgp)))
+                for part in parts:
+                    man = build_segment(groups.pop(part), out_dir, int(part), analyzer)
+                    rows.append(
+                        {
+                            "part": int(part),
+                            "num_docs": man["num_docs"],
+                            "num_postings": man["num_postings"],
+                            "build_seconds": man["build_seconds"],
+                        }
+                    )
             return pa.Table.from_pylist(rows, schema=SUMMARY_SCHEMA)
 
-        items = [
-            {
-                "part": p,
-                "paths": [path for path, _ in refs_by_part[p]],
-                "rgs": [rg for _, rg in refs_by_part[p]],
-            }
-            for p in remaining
-        ]
-        # batch_size=1 -> one merge task per partition (no repartition
-        # all-to-all needed to spread the part list across tasks)
+        items = []
+        for chunk in chunks:
+            paths, rgs, parts_of = [], [], []
+            for p in chunk:
+                for path, rg in refs_by_part[p]:
+                    paths.append(path)
+                    rgs.append(rg)
+                    parts_of.append(p)
+            items.append(
+                {"parts": chunk, "paths": paths, "rgs": rgs, "rg_parts": parts_of}
+            )
+        # batch_size=1 -> one merge task per chunk (no repartition
+        # all-to-all needed to spread the chunk list across tasks)
         ray.data.from_items(items).map_batches(
-            merge_part, batch_format="pyarrow", batch_size=1,
+            merge_chunk, batch_format="pyarrow", batch_size=1,
             num_cpus=merge_num_cpus,
         ).materialize()
         shutil.rmtree(os.path.join(out_dir, "runs"), ignore_errors=True)

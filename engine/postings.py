@@ -87,17 +87,161 @@ def analyze_doc(analyzer: analysis.Analyzer, content: str):
     )
 
 
+def _exclusive_starts(counts: np.ndarray) -> np.ndarray:
+    c = np.cumsum(counts)
+    return c - counts
+
+
 class AnalyzeDocs:
     """Actor-pool map_batches stage: corpus+ids batch -> ANALYZED_DOC rows.
 
-    ``__init__`` builds the analyzer once per actor (stemmer memo
-    persists across batches); ``__call__`` handles one Arrow batch.
+    Vectorized: raw tokens come from ONE Arrow C++ regex split over the
+    whole content column; only the (Zipf-small) set of DISTINCT raw
+    tokens goes through the Python analyzer (split_ident + casefold +
+    Porter), memoized per actor, and the expansion back to per-doc
+    (term, tf, positions) lists is pure numpy.  Semantics are
+    bit-identical to applying ``analysis.get_analyzer(name)`` per doc —
+    property-tested against the row-wise path
+    (tests/test_analysis.py::test_vectorized_equals_rowwise).
+
+    ``__init__`` state (once per actor): the raw-token -> final-terms
+    memo and the growing term dictionary.
     """
 
     def __init__(self, analyzer: str = "code"):
         self._az = analysis.get_analyzer(analyzer)
+        self._name = analyzer
+        # raw token -> np.ndarray of term ids (into _term_strs)
+        self._sub: dict[str, np.ndarray] = {}
+        self._term_id: dict[str, int] = {}
+        self._term_strs: list[str] = []
+
+    def _terms_of_raw(self, raw: str) -> np.ndarray:
+        got = self._sub.get(raw)
+        if got is None:
+            ids = []
+            for term in self._az(raw):
+                tid = self._term_id.get(term)
+                if tid is None:
+                    tid = self._term_id[term] = len(self._term_strs)
+                    self._term_strs.append(term)
+                ids.append(tid)
+            got = self._sub[raw] = np.asarray(ids, dtype=np.int64)
+        return got
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        content = batch.column("content")
+        content = content.combine_chunks() if content.num_chunks != 1 else content.chunk(0)
+        if self._name == "simple":
+            split = pc.split_pattern(content, " ")
+        else:
+            split = pc.split_pattern_regex(content, "[^A-Za-z0-9_]+")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[nonempty]
+        flat = flat.filter(pa.array(nonempty))
+
+        if len(flat):
+            denc = pc.dictionary_encode(flat)
+            codes = denc.indices.to_numpy().astype(np.int64)
+            uniq_raw = denc.dictionary.to_pylist()
+        else:
+            codes = np.zeros(0, np.int64)
+            uniq_raw = []
+
+        # distinct raw tokens through the memoized analyzer
+        sub_lists = [self._terms_of_raw(r) for r in uniq_raw]
+        sub_counts = np.asarray([len(s) for s in sub_lists], dtype=np.int64)
+        sub_flat = (
+            np.concatenate(sub_lists) if sub_lists else np.zeros(0, np.int64)
+        )
+        sub_starts = _exclusive_starts(sub_counts)
+
+        # expand occurrences -> emitted term ids (+ owning doc)
+        rep = sub_counts[codes] if len(codes) else np.zeros(0, np.int64)
+        total = int(rep.sum())
+        occ_starts = _exclusive_starts(rep)
+        within = np.arange(total, dtype=np.int64) - np.repeat(occ_starts, rep)
+        emitted_tid = sub_flat[np.repeat(sub_starts[codes], rep) + within]
+        doc_out = np.repeat(doc_rep, rep)  # nondecreasing
+
+        doc_len = np.bincount(doc_out, minlength=n_docs).astype(np.int64)
+        doc_first = _exclusive_starts(doc_len)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(doc_first, doc_len)
+
+        # group by (doc, term-STRING order) — match the row-wise path's
+        # sorted-unique-terms-per-doc layout exactly
+        used = np.unique(emitted_tid) if total else np.zeros(0, np.int64)
+        rank_of = np.zeros(len(self._term_strs), dtype=np.int64)
+        if len(used):
+            used_strs = [self._term_strs[t] for t in used]
+            order_used = np.argsort(np.asarray(used_strs, dtype=object))
+            rank_of[used[order_used]] = np.arange(len(used))
+        key_rank = rank_of[emitted_tid] if total else np.zeros(0, np.int64)
+        # single combined-key STABLE sort: emission order already has pos
+        # ascending within each (doc, term), and stability preserves it
+        perm = np.argsort(doc_out * max(len(used), 1) + key_rank, kind="stable")
+        s_doc = doc_out[perm]
+        s_tid = emitted_tid[perm]
+        s_pos = pos[perm]
+
+        # run boundaries per (doc, term)
+        if total:
+            newrun = np.ones(total, dtype=bool)
+            newrun[1:] = (s_doc[1:] != s_doc[:-1]) | (s_tid[1:] != s_tid[:-1])
+            run_starts = np.nonzero(newrun)[0]
+            run_bounds = np.append(run_starts, total)
+            tf = np.diff(run_bounds)
+            run_doc = s_doc[run_starts]
+            run_tid = s_tid[run_starts]
+        else:
+            run_starts = np.zeros(0, np.int64)
+            run_bounds = np.zeros(1, np.int64)
+            tf = np.zeros(0, np.int64)
+            run_doc = np.zeros(0, np.int64)
+            run_tid = np.zeros(0, np.int64)
+
+        runs_per_doc = np.bincount(run_doc, minlength=n_docs).astype(np.int64)
+        doc_off32 = pa.array(
+            np.concatenate(([0], np.cumsum(runs_per_doc))), pa.int32()
+        )
+        run_off32 = pa.array(run_bounds, pa.int32())
+
+        term_dict = pa.array(self._term_strs, pa.string())
+        terms_child = (
+            term_dict.take(pa.array(run_tid, pa.int64()))
+            if len(run_tid)
+            else pa.array([], pa.string())
+        )
+        poslists_inner = pa.ListArray.from_arrays(
+            run_off32, pa.array(s_pos.astype(np.int32), pa.int32())
+        )
+        terms_col = pa.ListArray.from_arrays(doc_off32, terms_child)
+        tfs_col = pa.ListArray.from_arrays(
+            doc_off32, pa.array(tf.astype(np.int32), pa.int32())
+        )
+        pos_col = pa.ListArray.from_arrays(doc_off32, poslists_inner)
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "part": batch.column("part"),
+                "doc_len": pa.array(doc_len.astype(np.int32), pa.int32()),
+                "terms": terms_col,
+                "tfs": tfs_col,
+                "poslists": pos_col,
+                "repo": batch.column("repo"),
+                "path": batch.column("path"),
+                "commit": batch.column("commit"),
+                "lang": batch.column("lang"),
+                "content_sha256": batch.column("content_sha256"),
+            }
+        )
+
+    def rowwise(self, batch: pa.Table) -> pa.Table:
+        """Reference row-at-a-time implementation (differential tests)."""
         content = batch.column("content").to_pylist()
         n = len(content)
         doc_lens = np.empty(n, dtype=np.int32)
@@ -195,16 +339,38 @@ class AnalyzeWriteRuns(AnalyzeDocs):
         )
 
 
-def read_run_groups(refs: list[tuple[str, int]]) -> pa.Table:
-    """Concatenate the listed (run_path, record_batch_idx) slices."""
-    if not refs:
-        return ANALYZED_DOC.empty_table()
-    batches = []
-    by_file: dict[str, list[int]] = {}
-    for path, rg in refs:
-        by_file.setdefault(path, []).append(int(rg))
+def load_run_parts(
+    parts: list[int], refs: list[tuple[str, int, int]]
+) -> dict[int, pa.Table]:
+    """Load several partitions' run slices in ONE pass over the files.
+
+    ``refs``: (run_path, record_batch_idx, part) triples.  Each file is
+    memory-mapped and footer-parsed exactly once regardless of how many
+    partitions the calling merge task owns — per-part opens made the
+    exchange O(partitions x files) in file-metadata work, which
+    dominated low-parallelism builds.
+    """
+    batches: dict[int, list] = {int(p): [] for p in parts}
+    by_file: dict[str, list[tuple[int, int]]] = {}
+    for path, rg, part in refs:
+        by_file.setdefault(path, []).append((int(rg), int(part)))
     for path in sorted(by_file):
         with pa.ipc.open_file(pa.memory_map(path)) as r:
-            for i in sorted(by_file[path]):
-                batches.append(r.get_batch(i))
-    return pa.Table.from_batches(batches)
+            for rg, part in sorted(by_file[path]):
+                batches[part].append(r.get_batch(rg))
+    return {
+        p: (
+            pa.Table.from_batches(b, schema=ANALYZED_DOC)
+            if b
+            else ANALYZED_DOC.empty_table()
+        )
+        for p, b in batches.items()
+    }
+
+
+def read_run_groups(refs: list[tuple[str, int]]) -> pa.Table:
+    """Concatenate the listed (run_path, record_batch_idx) slices
+    (single-partition convenience wrapper over load_run_parts)."""
+    if not refs:
+        return ANALYZED_DOC.empty_table()
+    return load_run_parts([0], [(p, rg, 0) for p, rg in refs])[0]

@@ -90,3 +90,20 @@ def test_analyzer_modes():
 def test_analyzer_casefold_symmetry():
     code = get_analyzer("code")
     assert code("Return") == code("return")
+
+
+def test_vectorized_equals_rowwise():
+    """The vectorized AnalyzeDocs batch path must be bit-identical to
+    applying the per-doc analyzer row by row, for every analyzer."""
+    import pyarrow as pa
+
+    from engine.ids import assign_ids
+    from engine.postings import AnalyzeDocs
+    from tests.fixtures.gen import gen_corpus
+
+    batch = assign_ids(pa.Table.from_pylist(gen_corpus(120, seed=21)), 8)
+    for name in ("code", "code_nostem", "simple"):
+        vec = AnalyzeDocs(name)(batch)
+        ref = AnalyzeDocs(name).rowwise(batch)
+        for col in vec.column_names:
+            assert vec.column(col).equals(ref.column(col)), (name, col)
