@@ -140,6 +140,53 @@ def _q_bm25_topk_nostem(sf_dir: str):
     )
 
 
+def _q_bm25_and_nostem(sf_dir: str):
+    """Conjunctive (AND) BM25 over the simple-analyzer index."""
+    from engine.query import run_queries
+
+    out = _build_simple_index(sf_dir)
+    res = run_queries(out, _BM25_QUERIES, match="all", concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
+def _q_bm25_phrase_nostem(sf_dir: str):
+    """Exact-phrase BM25 (positional index) — rows-only driver check;
+    rank-identity vs refimpl is pytest-verified (test_match_modes)."""
+    from engine.query import run_queries
+
+    out = _build_simple_index(sf_dir)
+    phrases = [
+        {"query_id": 0, "text": "the data", "k": 10},
+        {"query_id": 1, "text": "a model is", "k": 10},
+        {"query_id": 2, "text": "zzz missing phrase", "k": 10},
+    ]
+    return run_queries(out, phrases, match="phrase", concurrency=(1, 4))
+
+
+def _q_verify_invariant(sf_dir: str):
+    """M7: sha256 invariant summary row for the simple index."""
+    from engine.corpus import read_corpus_from_documents
+    from engine.verify import verify_index
+
+    out = _build_simple_index(sf_dir)
+    res = verify_index(out, read_corpus_from_documents(sf_dir))
+    res["ok"] = int(res["ok"])
+    return pa.Table.from_pylist([res])
+
+
 def _cents(batch: pa.Table, src: str, dst: str) -> pa.Table:
     """Money double -> exact integer cents (same IEEE double multiply in
     DuckDB and numpy -> deterministic cross-engine comparison)."""
@@ -297,6 +344,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "collection_stats": _q_collection_stats,
         "bm25_topk_nostem": _q_bm25_topk_nostem,
+        "bm25_and_nostem": _q_bm25_and_nostem,
+        "bm25_phrase_nostem": _q_bm25_phrase_nostem,
+        "verify_invariant": _q_verify_invariant,
         "groupby_lineitem": _q_groupby_lineitem,
         "topk_orders": _q_topk_orders,
         "join_customer_orders": _q_join_customer_orders,
@@ -321,7 +371,7 @@ _TOK = (
 _TOK2 = f"SELECT doc_id, term FROM ({_TOK}) WHERE term <> ''"
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(conjunctive: bool = False) -> str:
     vals = []
     for q in _BM25_QUERIES:
         seen = []
@@ -332,6 +382,11 @@ def _bm25_sql() -> str:
         for t in seen:
             vals.append(f"({q['query_id']}, '{t}')")
     values = ", ".join(vals)
+    and_filter = (
+        "JOIN qn ON scores.query_id = qn.query_id AND scores.nmatch = qn.n"
+        if conjunctive
+        else ""
+    )
     return f"""
 WITH tok2 AS ({_TOK2}),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
@@ -342,12 +397,14 @@ stats AS (
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
 dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 q(query_id, term) AS (VALUES {values}),
+qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY query_id),
 scores AS (
   SELECT q.query_id, tf.doc_id,
          sum(
            ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
            * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
-         ) AS score
+         ) AS score,
+         count(DISTINCT q.term) AS nmatch
   FROM q
   JOIN tf ON q.term = tf.term
   JOIN dft ON q.term = dft.term
@@ -356,9 +413,10 @@ scores AS (
   GROUP BY q.query_id, tf.doc_id
 ),
 ranked AS (
-  SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-  FROM scores
+  SELECT scores.query_id, doc_id, score,
+         row_number() OVER (PARTITION BY scores.query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores {and_filter}
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
@@ -387,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT doc_id, count(*) AS c FROM ({_TOK2}) GROUP BY doc_id)"
         ),
         "bm25_topk_nostem": _bm25_sql(),
+        "bm25_and_nostem": _bm25_sql(conjunctive=True),
         "groupby_lineitem": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
             "CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents, "

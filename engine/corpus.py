@@ -36,17 +36,28 @@ def documents_batch_to_corpus(batch: pa.Table) -> pa.Table:
 
 
 def read_corpus_from_documents(
-    sf_dir: str, repeat: int = 1, override_num_blocks: int | None = None
+    sf_dir: str,
+    repeat: int = 1,
+    override_num_blocks: int | None = None,
+    langs: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Read sf_dir/documents.parquet as a corpus Dataset.
 
     ``repeat`` > 1 replicates each document with a distinct path suffix
     (deterministic) to scale benchmark inputs to >=100k docs
     (BASELINE.md metric table) without external data.
+
+    ``langs`` (M6): optional ``lang IN (...)`` predicate, pushed into
+    the Parquet scan as a filter expression so pruned row groups never
+    leave storage.
     """
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
+    if langs is not None:
+        import pyarrow.dataset as pads
+
+        kwargs["filter"] = pads.field("lang").isin(list(langs))
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],

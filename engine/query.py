@@ -104,30 +104,62 @@ class IndexReader:
                 out.append((t, bm25.idf(df, self.num_docs)))
         return out
 
+    def qterms_strict(self, text: str) -> list[tuple[str, float]] | None:
+        """Like qterms, but any out-of-vocabulary term means the
+        conjunctive/phrase query can match nothing -> None."""
+        out = []
+        for t in analyze_query(self.analyzer, text):
+            df = self.global_df.get(t, 0)
+            if df == 0:
+                return None
+            out.append((t, bm25.idf(df, self.num_docs)))
+        return out
+
     def score_segment(
-        self, seg_id: int, text: str, k: int, mode: str = "auto"
+        self, seg_id: int, text: str, k: int, mode: str = "auto",
+        match: str = "any",
     ) -> list[tuple[int, float]]:
-        """Per-(query, segment) top-k -> [(doc_id, score)] best-first."""
+        """Per-(query, segment) top-k -> [(doc_id, score)] best-first.
+
+        ``match``: "any" (disjunctive BM25), "all" (conjunctive — every
+        term must occur, Q2), "phrase" (exact contiguous sequence over
+        the positional index).
+        """
         seg = self.segment(seg_id)
-        qt = self.qterms(text)
-        if not qt:
-            return []
-        if mode == "auto":
-            hits = wand.auto_topk(seg, qt, k, self.avg_doc_len)
-        elif mode == "wand":
-            hits = wand.wand_topk(seg, qt, k, self.avg_doc_len)
-        elif mode == "exhaustive":
-            hits = wand.exhaustive_topk(seg, qt, k, self.avg_doc_len)
+        if match == "all":
+            qt = self.qterms_strict(text)
+            if qt is None or not qt:
+                return []
+            hits = wand.conjunctive_topk(seg, qt, k, self.avg_doc_len)
+        elif match == "phrase":
+            qt = self.qterms_strict(text)
+            if qt is None or not qt:
+                return []
+            seq = list(self.analyzer(text))
+            hits = wand.phrase_topk(seg, seq, qt, k, self.avg_doc_len)
+        elif match == "any":
+            qt = self.qterms(text)
+            if not qt:
+                return []
+            if mode == "auto":
+                hits = wand.auto_topk(seg, qt, k, self.avg_doc_len)
+            elif mode == "wand":
+                hits = wand.wand_topk(seg, qt, k, self.avg_doc_len)
+            elif mode == "exhaustive":
+                hits = wand.exhaustive_topk(seg, qt, k, self.avg_doc_len)
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
         else:
-            raise ValueError(f"unknown mode {mode!r}")
+            raise ValueError(f"unknown match {match!r}")
         return [(int(seg.doc_ids[o]), s) for o, s in hits]
 
-    def search(self, text: str, k: int = 10, mode: str = "auto") -> list[dict]:
+    def search(self, text: str, k: int = 10, mode: str = "auto",
+               match: str = "any") -> list[dict]:
         """Single-process search across all segments (serving / latency
         benchmarks; same kernels as the distributed path)."""
         cand: list[tuple[float, int, int]] = []  # (score, doc_id, seg_id)
         for seg_id in range(len(self.segment_paths)):
-            for doc_id, score in self.score_segment(seg_id, text, k, mode):
+            for doc_id, score in self.score_segment(seg_id, text, k, mode, match):
                 cand.append((score, doc_id, seg_id))
         cand.sort(key=lambda c: (-c[0], c[1]))
         out = []
@@ -151,9 +183,10 @@ class SegmentScorer:
     once per actor; __call__ scores a batch of (query_id, text, k,
     seg_id) rows and emits per-(query, segment) partial top-k rows."""
 
-    def __init__(self, index_dir: str, mode: str = "auto"):
+    def __init__(self, index_dir: str, mode: str = "auto", match: str = "any"):
         self.reader = IndexReader(index_dir)
         self.mode = mode
+        self.match = match
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("query_id").to_pylist()
@@ -164,7 +197,9 @@ class SegmentScorer:
         rd = self.reader
         for qid, text, k, seg_id in zip(qids, texts, ks, segs):
             seg = rd.segment(seg_id)
-            for doc_id, score in rd.score_segment(seg_id, text, k, self.mode):
+            for doc_id, score in rd.score_segment(
+                seg_id, text, k, self.mode, self.match
+            ):
                 o = int(np.searchsorted(seg.doc_ids, doc_id))
                 o_qid.append(qid)
                 o_k.append(k)
@@ -210,6 +245,7 @@ def run_queries(
     index_dir: str,
     queries,
     mode: str = "auto",
+    match: str = "any",
     concurrency=(1, 16),
     batch_size: int = 64,
 ) -> "ray.data.Dataset":
@@ -247,7 +283,7 @@ def run_queries(
 
     scored = queries.flat_map(cross).map_batches(
         SegmentScorer,
-        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode, "match": match},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

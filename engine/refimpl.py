@@ -102,6 +102,56 @@ class RefIndex:
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
 
+    def _score_docs(self, terms: list[str], docs: set[int]) -> list[tuple[int, float]]:
+        """BM25-score the given docs over ``terms`` (analyzed order)."""
+        scores = {d: 0.0 for d in docs}
+        for t in terms:
+            plist = self.postings.get(t, ())
+            idf_t = bm25.idf(len(plist), self.num_docs) if plist else 0.0
+            for did, tf in plist:
+                if did in scores:
+                    scores[did] += idf_t * bm25.tf_part(
+                        float(tf), float(self.doc_len[did]), self.avg_doc_len
+                    )
+        return sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+
+    def topk_and(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Conjunctive (AND) BM25 top-k: only docs containing EVERY
+        analyzed query term; empty query -> no results."""
+        terms = self.analyze_query(text)
+        if not terms:
+            return []
+        docsets = []
+        for t in terms:
+            docsets.append({did for did, _ in self.postings.get(t, ())})
+        cand = set.intersection(*docsets) if docsets else set()
+        return self._score_docs(terms, cand)[:k]
+
+    def topk_phrase(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact phrase top-k: the analyzed token SEQUENCE (duplicates
+        kept, order kept) must occur contiguously; matches are
+        BM25-scored over the phrase's distinct terms."""
+        az = analysis.get_analyzer(self.analyzer_name)
+        seq = az(text)
+        if not seq:
+            return []
+        docsets = [
+            {did for did, _ in self.postings.get(t, ())} for t in set(seq)
+        ]
+        cand = set.intersection(*docsets) if docsets else set()
+        hits = set()
+        for did in cand:
+            starts = set(self.positions.get((seq[0], did), ()))
+            for i, t in enumerate(seq[1:], 1):
+                nxt = {p - i for p in self.positions.get((t, did), ())}
+                starts &= nxt
+                if not starts:
+                    break
+            if starts:
+                hits.add(did)
+        terms = self.analyze_query(text)  # distinct, first-occurrence order
+        return self._score_docs(terms, hits)[:k]
+
 
 def table_rows(table) -> list[dict]:
     """pyarrow.Table -> list of row dicts (test helper)."""

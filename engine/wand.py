@@ -228,6 +228,97 @@ def wand_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
     return out
 
 
+def conjunctive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
+                     avg_doc_len: float) -> list[tuple[int, float]]:
+    """Q2: conjunctive (AND) intersection + BM25 top-k over one segment.
+
+    Candidate set = intersection of the query terms' posting lists
+    (vectorized ``np.intersect1d`` over sorted ordinal arrays — the
+    DAAT-with-skips iterator (Q1/TermIterator.advance) covers the same
+    semantics; the vectorized form is faster in CPython).  Every query
+    term must be present in the segment, else no candidates.  Scoring
+    sums per-term contributions in analyzed-query order (determinism
+    contract), so results are rank-identical to refimpl.topk_and.
+    """
+    if not qterms:
+        return []
+    decoded = []
+    for term, idf in qterms:
+        row = seg.term_idx.get(term)
+        if row is None or seg.n_postings[row] == 0:
+            return []
+        ords, tfs = seg.decode_idx_cached(row)
+        decoded.append((ords, tfs, idf))
+    cand = decoded[0][0]
+    for ords, _, _ in decoded[1:]:
+        cand = np.intersect1d(cand, ords, assume_unique=True)
+        if cand.size == 0:
+            return []
+    dl = seg.doc_lens[cand]
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for ords, tfs, idf in decoded:
+        sel = np.searchsorted(ords, cand)
+        tf = tfs[sel].astype(np.float64)
+        scores += idf * ((tf * (bm25.K1 + 1.0)) /
+                         (tf + bm25.K1 * (1.0 - bm25.B + bm25.B * (dl / avg_doc_len))))
+    order = np.lexsort((seg.doc_ids[cand], -scores))[:k]
+    sel = cand[order]
+    return [(int(o), float(s)) for o, s in zip(sel, scores[order])]
+
+
+def phrase_topk(seg: Segment, seq: list[str], qterms: list[tuple[str, float]],
+                k: int, avg_doc_len: float) -> list[tuple[int, float]]:
+    """Exact-phrase top-k over one segment: the analyzed token sequence
+    ``seq`` must occur contiguously (positional verification over the
+    positions stream); matches are BM25-scored over ``qterms`` exactly
+    like conjunctive_topk (rank-identical to refimpl.topk_phrase)."""
+    if not seq or not qterms:
+        return []
+    # candidate docs: conjunctive intersection over DISTINCT seq terms
+    distinct = list(dict.fromkeys(seq))
+    decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for term in distinct:
+        row = seg.term_idx.get(term)
+        if row is None or seg.n_postings[row] == 0:
+            return []
+        decoded[term] = seg.decode_idx_cached(row)
+    cand = decoded[distinct[0]][0]
+    for term in distinct[1:]:
+        cand = np.intersect1d(cand, decoded[term][0], assume_unique=True)
+        if cand.size == 0:
+            return []
+    # positional verification (positions decoded lazily per term)
+    poslists = {t: seg.decode_positions(t) for t in distinct}
+    posmaps = {}
+    for t in distinct:
+        ords = decoded[t][0]
+        posmaps[t] = {int(o): pl for o, pl in zip(ords, poslists[t])}
+    hits = []
+    for o in cand:
+        starts = set(posmaps[seq[0]][int(o)].tolist())
+        for i, t in enumerate(seq[1:], 1):
+            nxt = {int(p) - i for p in posmaps[t][int(o)]}
+            starts &= nxt
+            if not starts:
+                break
+        if starts:
+            hits.append(int(o))
+    if not hits:
+        return []
+    cand = np.asarray(hits, dtype=np.int64)
+    dl = seg.doc_lens[cand]
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for term, idf in qterms:
+        ords, tfs = decoded[term]
+        sel = np.searchsorted(ords, cand)
+        tf = tfs[sel].astype(np.float64)
+        scores += idf * ((tf * (bm25.K1 + 1.0)) /
+                         (tf + bm25.K1 * (1.0 - bm25.B + bm25.B * (dl / avg_doc_len))))
+    order = np.lexsort((seg.doc_ids[cand], -scores))[:k]
+    sel = cand[order]
+    return [(int(o), float(s)) for o, s in zip(sel, scores[order])]
+
+
 AUTO_EXHAUSTIVE_FRAC = 0.02  # Σ local df / num_docs above which pruning can't win
 
 

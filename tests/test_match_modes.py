@@ -1,0 +1,75 @@
+"""Conjunctive (AND) and phrase query modes: rank identity vs the
+refimpl oracle on the fixture corpus (SURVEY.md Q2 + positional
+postings)."""
+
+import pytest
+
+from engine.query import IndexReader, run_queries
+
+
+def _pairs(rows):
+    return [(r["doc_id"], r["score"]) for r in rows]
+
+
+def _assert_same(got, want, ctx):
+    assert [d for d, _ in got] == [d for d, _ in want], ctx
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-9, ctx
+
+
+def test_conjunctive_rank_identity(built_index):
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    for q in built_index["queries"]:
+        want = ref.topk_and(q["text"], q["k"])
+        got = _pairs(rd.search(q["text"], q["k"], match="all"))
+        _assert_same(got, want, q["text"])
+
+
+def test_conjunctive_oov_term_empties(built_index):
+    rd = IndexReader(built_index["out"])
+    assert rd.search("import zzzznotfound", 10, match="all") == []
+    assert built_index["ref"].topk_and("import zzzznotfound", 10) == []
+
+
+def _phrase_queries(rows):
+    """Real 2-4 token sequences lifted from fixture docs + negatives."""
+    out = []
+    from engine.analysis import get_analyzer
+
+    az = get_analyzer("code")
+    for r in rows[:12]:
+        toks = az(r["content"])
+        if len(toks) >= 6:
+            out.append(" ".join(toks[2:5]))
+            out.append(" ".join(toks[0:2]))
+    out += ["import zzz", "alpha beta gamma delta epsilon"]
+    return out
+
+
+def test_phrase_rank_identity(built_index):
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    n_nonempty = 0
+    for text in _phrase_queries(built_index["rows"]):
+        want = ref.topk_phrase(text, 10)
+        got = _pairs(rd.search(text, 10, match="phrase"))
+        _assert_same(got, want, text)
+        n_nonempty += bool(want)
+    assert n_nonempty >= 5  # fixture sanity: phrases actually match
+
+
+def test_distributed_match_modes(built_index):
+    ref = built_index["ref"]
+    queries = built_index["queries"][:8]
+    for match, oracle in (("all", ref.topk_and), ("phrase", ref.topk_phrase)):
+        res = run_queries(
+            built_index["out"], queries, match=match, concurrency=(1, 2)
+        ).take_all()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q in queries:
+            want = oracle(q["text"], q["k"])
+            got = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
+            assert [r["doc_id"] for r in got] == [d for d, _ in want], (match, q["text"])
