@@ -34,6 +34,10 @@ from . import analysis, bm25, wand
 from .checkpoint import read_build_manifest, read_collection_stats
 from .segments import Segment, list_segments
 
+# total decoded-postings cache budget per IndexReader (~1 GiB at 16 B
+# per posting), divided evenly across its segments
+CACHE_POSTINGS_TOTAL = 64_000_000
+
 RESULT_PARTIAL = pa.schema(
     [
         ("query_id", pa.int64()),
@@ -87,11 +91,17 @@ class IndexReader:
                 )
         self.segment_paths = list_segments(index_dir)
         self._segments: dict[int, Segment] = {}
+        # decoded-postings cache budget, split across segments so a
+        # many-segment reader cannot exceed ~CACHE_POSTINGS_TOTAL
+        self._seg_cache_max = max(
+            65536, CACHE_POSTINGS_TOTAL // max(1, len(self.segment_paths))
+        )
 
     def segment(self, seg_id: int) -> Segment:
         seg = self._segments.get(seg_id)
         if seg is None:
             seg = self._segments[seg_id] = Segment(self.segment_paths[seg_id])
+            seg._dec_cache_max = self._seg_cache_max
         return seg
 
     def qterms(self, text: str) -> list[tuple[str, float]]:
