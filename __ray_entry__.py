@@ -336,6 +336,30 @@ def _q_media_decode(sf_dir: str):
     return multimodal.media_pipeline(sf_dir, "decode")
 
 
+def _q_simhash_pairs(sf_dir: str):
+    from engine import dedup
+
+    return dedup.simhash_dup_pairs(sf_dir, max_hamming=3)
+
+
+def _q_window_tumbling(sf_dir: str):
+    from engine import windows
+
+    return windows.tumbling_window_agg(sf_dir, window_minutes=60)
+
+
+def _q_window_sliding(sf_dir: str):
+    from engine import windows
+
+    return windows.sliding_window_agg(sf_dir, window_minutes=60, slide_minutes=30)
+
+
+def _q_sessionize(sf_dir: str):
+    from engine import windows
+
+    return windows.sessionize(sf_dir, gap_minutes=30)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_lengths": _q_doc_lengths,
@@ -362,6 +386,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _q_language_id,
         "fingerprint_md5": _q_fingerprint_md5,
         "media_decode": _q_media_decode,
+        "simhash_dup_pairs": _q_simhash_pairs,
+        "window_tumbling": _q_window_tumbling,
+        "window_sliding": _q_window_sliding,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -543,6 +571,42 @@ SELECT doc_id,
 FROM t
 """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "window_tumbling": """
+SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,
+       event_type, count(*) AS cnt,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+""",
+        "window_sliding": """
+WITH exploded AS (
+  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - s.i * 1800000000 AS ws,
+         epoch_us(ts) AS t,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events, range(2) s(i)
+)
+SELECT CAST(ws AS BIGINT) AS window_start_us, count(*) AS cnt,
+       CAST(round(sum(cents) / 100.0 / count(*), 6) AS DOUBLE) AS mean_value_r
+FROM exploded WHERE ws > t - 3600000000
+GROUP BY ws
+""",
+        "sessionize": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+m AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+s AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, CAST(min(t) AS BIGINT) AS session_start_us,
+       count(*) AS n_events, CAST(max(t) - min(t) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, sid
+""",
         # minhash_lsh_pairs, simhash_fingerprints, knn_lsh, language_id,
         # media_decode: approximate / heuristic / binary-codec operators —
         # not SQL-expressible; rows-only driver check + pytest oracles
