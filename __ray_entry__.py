@@ -336,6 +336,18 @@ def _q_media_decode(sf_dir: str):
     return multimodal.media_pipeline(sf_dir, "decode")
 
 
+def _q_broadcast_join(sf_dir: str):
+    from engine import relational
+
+    return relational.broadcast_join_supplier_nation_region(sf_dir)
+
+
+def _q_top_orders_per_customer(sf_dir: str):
+    from engine import relational
+
+    return relational.top_orders_per_customer(sf_dir, k=3)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from engine import dedup
 
@@ -386,6 +398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _q_language_id,
         "fingerprint_md5": _q_fingerprint_md5,
         "media_decode": _q_media_decode,
+        "broadcast_join_suppliers": _q_broadcast_join,
+        "top_orders_per_customer": _q_top_orders_per_customer,
         "simhash_dup_pairs": _q_simhash_pairs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -571,6 +585,23 @@ SELECT doc_id,
 FROM t
 """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "broadcast_join_suppliers": (
+            "SELECT s.s_suppkey, s.s_name, n.n_name, r.r_name "
+            "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey"
+        ),
+        "top_orders_per_customer": """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY round(o_totalprice * 100.0) DESC, o_orderkey)
+           AS rank
+  FROM orders
+)
+SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, price_cents
+FROM ranked WHERE rank <= 3
+""",
         "window_tumbling": """
 SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,
        event_type, count(*) AS cnt,

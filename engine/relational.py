@@ -1,0 +1,116 @@
+"""Generic relational operators used as building blocks by the engine
+and exposed for pipeline users: broadcast hash join (small side via
+``ray.put``, no shuffle) and per-group top-k (combiner-first).
+
+These exercise the exact patterns the index pipeline relies on (J2
+broadcast metadata lookup, K3 grouped top-k merge) over the TPC-H-ish
+driver tables, where DuckDB can oracle-check them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+
+def broadcast_join_supplier_nation_region(sf_dir: str) -> "ray.data.Dataset":
+    """supplier ⋈ nation ⋈ region with BOTH small sides broadcast.
+
+    nation (25 rows) and region (5 rows) are composed into one lookup
+    dict, ray.put once, and read inside every map task — zero shuffle;
+    the big side streams.  Output: (s_suppkey, s_name, n_name, r_name).
+    """
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    r_name = dict(
+        zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist())
+    )
+    lookup = {
+        int(nk): (nn, r_name[int(rk)])
+        for nk, nn, rk in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+    }
+    ref = ray.put(lookup)
+
+    def join(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        nk = batch.column("s_nationkey").to_pylist()
+        names = [lk[int(k)] for k in nk]
+        return pa.table(
+            {
+                "s_suppkey": batch.column("s_suppkey"),
+                "s_name": batch.column("s_name"),
+                "n_name": pa.array([n for n, _ in names], pa.string()),
+                "r_name": pa.array([r for _, r in names], pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).map_batches(join, batch_format="pyarrow")
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Per customer: its k most expensive orders, ranked.
+
+    Combiner-first per-group top-k: each batch keeps at most k rows per
+    customer (vectorized lexsort + head-of-group mask), THEN the
+    groupby merges the small partials — the shuffle moves ≤ k rows per
+    (batch, customer), never all orders.
+    Output: (o_custkey, rank, o_orderkey, price_cents).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cust = batch.column("o_custkey").to_numpy()
+        okey = batch.column("o_orderkey").to_numpy()
+        price = batch.column("o_totalprice").to_numpy()
+        cents = np.round(price * 100.0).astype(np.int64)
+        order = np.lexsort((okey, -cents, cust))
+        c_sorted = cust[order]
+        newgrp = np.ones(len(order), dtype=bool)
+        newgrp[1:] = c_sorted[1:] != c_sorted[:-1]
+        grp_start = np.repeat(
+            np.nonzero(newgrp)[0], np.diff(np.append(np.nonzero(newgrp)[0], len(order)))
+        )
+        within = np.arange(len(order)) - grp_start
+        keep = order[within < k]
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[keep], pa.int64()),
+                "o_orderkey": pa.array(okey[keep], pa.int64()),
+                "price_cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        okey = group.column("o_orderkey").to_numpy()
+        cents = group.column("price_cents").to_numpy()
+        order = np.lexsort((okey, -cents))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "o_custkey": group.column("o_custkey").take(pa.array(order, pa.int64())),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
+                "o_orderkey": pa.array(okey[order], pa.int64()),
+                "price_cents": pa.array(cents[order], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(merge, batch_format="pyarrow")
+    )
