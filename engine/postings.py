@@ -9,8 +9,9 @@ Design (see engine/__init__.py): the analyzer stage emits ONE packed row
 per document — ``(doc_id, part, doc_len, terms, tfs, poslists)`` plus
 the metadata columns — rather than exploded (doc, term) rows, and the
 exchange to the per-partition merge happens through CONTENT-ADDRESSED
-RUN FILES (``<out>/runs/part=NNNNN/run-<digest>.parquet``) written by
-each analyze task, not through a Ray Data all-to-all:
+RUN FILES (``<out>/runs/run-<digest>.arrow``, Arrow IPC, one record
+batch per partition) written by each analyze task, not through a Ray
+Data all-to-all:
 
 - the partition key is ``part = doc_id % P`` with doc_id a sha256-derived
   hash, so run sizes are uniform no matter how skewed the term
@@ -39,7 +40,6 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 from . import analysis
 
