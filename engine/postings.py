@@ -366,11 +366,3 @@ def load_run_parts(
         )
         for p, b in batches.items()
     }
-
-
-def read_run_groups(refs: list[tuple[str, int]]) -> pa.Table:
-    """Concatenate the listed (run_path, record_batch_idx) slices
-    (single-partition convenience wrapper over load_run_parts)."""
-    if not refs:
-        return ANALYZED_DOC.empty_table()
-    return load_run_parts([0], [(p, rg, 0) for p, rg in refs])[0]

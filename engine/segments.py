@@ -291,13 +291,6 @@ def build_segment(group: pa.Table, out_dir: str, part: int, analyzer: str) -> di
     return manifest
 
 
-def empty_segment(out_dir: str, part: int, analyzer: str) -> dict:
-    """Write a valid zero-doc segment (parts with no documents)."""
-    from .postings import ANALYZED_DOC
-
-    return build_segment(ANALYZED_DOC.empty_table(), out_dir, part, analyzer)
-
-
 # ---------------------------------------------------------------------------
 # Reader
 # ---------------------------------------------------------------------------
