@@ -369,6 +369,15 @@ def exhaustive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
     cand = np.nonzero(touched)[0]
     if cand.size == 0:
         return []
-    order = np.lexsort((seg.doc_ids[cand], -scores[cand]))[:k]
+    sc = scores[cand]
+    if cand.size > 4 * k:
+        # exact pre-selection: keep every candidate scoring >= the k-th
+        # largest (ties INCLUDED, so the doc_id tie-break below still
+        # sees all of them), then sort only that small set
+        kth = np.partition(sc, cand.size - k)[cand.size - k]
+        keep = sc >= kth
+        cand = cand[keep]
+        sc = sc[keep]
+    order = np.lexsort((seg.doc_ids[cand], -sc))[:k]
     sel = cand[order]
     return [(int(o), float(scores[o])) for o in sel]
