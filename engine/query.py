@@ -92,9 +92,12 @@ class IndexReader:
         self.segment_paths = list_segments(index_dir)
         self._segments: dict[int, Segment] = {}
         # decoded-postings cache budget, split across segments so a
-        # many-segment reader cannot exceed ~CACHE_POSTINGS_TOTAL
+        # many-segment reader cannot exceed ~CACHE_POSTINGS_TOTAL; the
+        # floor keeps each segment's Zipf-head terms resident even with
+        # hundreds of segments (below it the cache thrashes and p99
+        # degrades to cold-decode latency)
         self._seg_cache_max = max(
-            65536, CACHE_POSTINGS_TOTAL // max(1, len(self.segment_paths))
+            262_144, CACHE_POSTINGS_TOTAL // max(1, len(self.segment_paths))
         )
 
     def segment(self, seg_id: int) -> Segment:
