@@ -194,7 +194,8 @@ class IndexReader:
 class SegmentScorer:
     """A1: actor-pool map_batches stage.  __init__ loads index state
     once per actor; __call__ scores a batch of (query_id, text, k,
-    seg_id) rows and emits per-(query, segment) partial top-k rows."""
+    seg_lo, seg_hi) segment-range work items and emits per-(query,
+    segment) partial top-k rows."""
 
     def __init__(self, index_dir: str, mode: str = "auto", match: str = "any"):
         self.reader = IndexReader(index_dir)
@@ -205,10 +206,12 @@ class SegmentScorer:
         qids = batch.column("query_id").to_pylist()
         texts = batch.column("text").to_pylist()
         ks = batch.column("k").to_pylist()
-        segs = batch.column("seg_id").to_pylist()
+        los = batch.column("seg_lo").to_pylist()
+        his = batch.column("seg_hi").to_pylist()
         o_qid, o_k, o_did, o_score, o_repo, o_path = [], [], [], [], [], []
         rd = self.reader
-        for qid, text, k, seg_id in zip(qids, texts, ks, segs):
+        for qid, text, k, lo, hi in zip(qids, texts, ks, los, his):
+          for seg_id in range(lo, hi):
             seg = rd.segment(seg_id)
             for doc_id, score in rd.score_segment(
                 seg_id, text, k, self.mode, self.match
@@ -265,8 +268,12 @@ def run_queries(
     """Distributed query evaluation -> Dataset with RESULTS schema.
 
     ``queries``: list of {query_id, text, k} dicts or a Dataset with
-    those columns.  Each query is crossed with every segment id
-    (flat_map), scored by the actor pool, then merged per query_id.
+    those columns.  Each query is crossed with SEGMENT RANGES
+    (flat_map; ``segs_per_task`` segments per work item, so task count
+    is queries x ceil(P / segs_per_task) instead of queries x P —
+    at hundreds of segments the per-(query, segment) fan-out was pure
+    scheduling overhead), scored by the actor pool, then merged per
+    query_id.
     """
     n_segs = len(list_segments(index_dir))
     if n_segs == 0:
@@ -283,15 +290,18 @@ def run_queries(
             ]
         )
 
+    segs_per_task = max(1, min(8, n_segs))
+
     def cross(row: dict) -> list[dict]:
         return [
             {
                 "query_id": row["query_id"],
                 "text": row["text"],
                 "k": row["k"],
-                "seg_id": s,
+                "seg_lo": lo,
+                "seg_hi": min(lo + segs_per_task, n_segs),
             }
-            for s in range(n_segs)
+            for lo in range(0, n_segs, segs_per_task)
         ]
 
     scored = queries.flat_map(cross).map_batches(
