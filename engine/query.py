@@ -5,7 +5,7 @@ Spec: BASELINE.json:6 — "serves BM25 top-k queries through stateful
 actor-pool scorers using document-frequency and length statistics
 computed as Ray Data aggregates".
 
-Shape: ``queries × segments`` cross product (flat_map) ->
+Shape: ``queries × segment-ranges`` cross product (flat_map) ->
 ``map_batches(SegmentScorer, concurrency=(min,max))`` -> per-(query,
 segment) partial top-k -> ``groupby(query_id).map_groups`` global
 merge + rank.  Because segments are DOCUMENT partitions, each partial
