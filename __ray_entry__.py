@@ -336,6 +336,30 @@ def _q_media_decode(sf_dir: str):
     return multimodal.media_pipeline(sf_dir, "decode")
 
 
+def _q_hll_distinct(sf_dir: str):
+    from engine import sketches
+
+    return sketches.hll_distinct_terms(sf_dir)
+
+
+def _q_cms_heavy_hitters(sf_dir: str):
+    from engine import sketches
+
+    return sketches.cms_heavy_hitters(sf_dir, k=10)
+
+
+def _q_bottomk_sample(sf_dir: str):
+    from engine import sketches
+
+    return sketches.bottomk_sample(sf_dir, n=20)
+
+
+def _q_quantiles(sf_dir: str):
+    from engine import sketches
+
+    return sketches.exact_quantiles_cents(sf_dir)
+
+
 def _q_broadcast_join(sf_dir: str):
     from engine import relational
 
@@ -398,6 +422,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _q_language_id,
         "fingerprint_md5": _q_fingerprint_md5,
         "media_decode": _q_media_decode,
+        "hll_distinct_terms": _q_hll_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "bottomk_sample": _q_bottomk_sample,
+        "quantiles_lineitem": _q_quantiles,
         "broadcast_join_suppliers": _q_broadcast_join,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "simhash_dup_pairs": _q_simhash_pairs,
@@ -585,6 +613,19 @@ SELECT doc_id,
 FROM t
 """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "bottomk_sample": (
+            "SELECT doc_id FROM documents "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 20"
+        ),
+        "quantiles_lineitem": """
+WITH qv AS (
+  SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+         unnest(quantile_disc(CAST(round(l_extendedprice * 100.0) AS BIGINT),
+                              [0.25, 0.5, 0.75, 0.9, 0.99])) AS cents
+  FROM lineitem
+)
+SELECT CAST(q AS DOUBLE) AS q, CAST(cents AS BIGINT) AS cents FROM qv
+""",
         "broadcast_join_suppliers": (
             "SELECT s.s_suppkey, s.s_name, n.n_name, r.r_name "
             "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "

@@ -1,0 +1,290 @@
+"""Mergeable sketch / sampling / quantile operators — the approximate
+and order-statistics family for training-data pipelines.
+
+All distributed state is MERGEABLE and flows through Ray Data's custom
+``AggregateFn`` (init / accumulate_block / merge / finalize) or a
+combiner-first groupby — the canonical shapes for sketches at scale:
+every block contributes a fixed-size partial, merges are associative,
+and only sketch-sized state crosses the wire.
+
+- hll_distinct_terms: HyperLogLog distinct-term count (register max is
+  the merge; estimate within ~1.04/sqrt(2^p)).
+- cms_heavy_hitters: Count-Min Sketch counts + capped candidate set;
+  top-k by estimated frequency (superset-accurate for true heavy
+  hitters; property-tested against exact counts).
+- bottomk_sample: DETERMINISTIC distributed sample — the k doc_ids
+  with the smallest md5(doc_id) (a bottom-k hash sketch).  Unlike a
+  random reservoir it is order- and partition-independent, so it is
+  exactly reproducible AND SQL-oracle-checkable.
+- exact_quantiles_cents: exact discrete quantiles over a money column
+  via per-batch (value, count) partials -> small groupby -> cumulative
+  selection (matches DuckDB ``quantile_disc``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import AggregateFn
+
+# ---------------------------------------------------------------------------
+# token helpers (simple analyzer — SQL-replicable)
+# ---------------------------------------------------------------------------
+
+
+def _flat_tokens(block: pa.Table) -> pa.Array:
+    col = block.column("text")
+    col = col.combine_chunks() if col.num_chunks != 1 else col.chunk(0)
+    flat = pc.utf8_lower(pc.split_pattern(col, " ").flatten())
+    return flat.filter(pc.not_equal(flat, ""))
+
+
+def _fnv64(arr: list[str]) -> np.ndarray:
+    out = np.empty(len(arr), dtype=np.uint64)
+    for i, s in enumerate(arr):
+        h = 0xCBF29CE484222325
+        for b in s.encode():
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_distinct_terms(sf_dir: str, precision: int = 12) -> pa.Table:
+    """Estimate the number of distinct simple-analyzer terms in
+    documents.text with a HyperLogLog of 2**precision registers.
+
+    Returns a one-row table (estimate:int64, precision:int32).
+    """
+    m = 1 << precision
+
+    def init(_key):
+        return np.zeros(m, dtype=np.int8)
+
+    def accumulate_block(regs: np.ndarray, block: pa.Table) -> np.ndarray:
+        toks = _flat_tokens(block)
+        uniq = pc.unique(toks).to_pylist()
+        if not uniq:
+            return regs
+        h = _fnv64(uniq)
+        idx = (h >> np.uint64(64 - precision)).astype(np.int64)
+        rest = h << np.uint64(precision)  # top (64-p) hash bits at MSB
+        # rank = leading zeros of rest + 1 (capped)
+        rank = np.full(len(h), 64 - precision + 1, dtype=np.int8)
+        nz = rest != 0
+        # leading zeros via bit_length: lz = 64 - bit_length(rest)
+        bl = np.frompyfunc(int.bit_length, 1, 1)(rest[nz].astype(object)).astype(np.int64)
+        rank[nz] = (64 - bl + 1).astype(np.int8)
+        regs = regs.copy()
+        np.maximum.at(regs, idx, rank)
+        return regs
+
+    def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.maximum(a, b)
+
+    def finalize(regs: np.ndarray) -> int:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # small-range correction
+        return int(round(est))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    res = ds.aggregate(
+        AggregateFn(init=init, merge=merge, name="hll",
+                    accumulate_block=accumulate_block, finalize=finalize)
+    )
+    return pa.table(
+        {
+            "estimate": pa.array([int(res["hll"])], pa.int64()),
+            "precision": pa.array([precision], pa.int32()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def cms_heavy_hitters(
+    sf_dir: str, k: int = 10, width: int = 2048, depth: int = 4,
+    max_candidates: int = 4096,
+) -> pa.Table:
+    """Top-k terms by Count-Min-estimated frequency.
+
+    State = (CMS matrix, candidate set capped at ``max_candidates``).
+    CMS estimates never undercount, so for any true heavy hitter the
+    estimate >= truth; ties broken term asc.  Returns (term, est_count)
+    rows, est-count desc.
+    """
+    seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    def init(_key):
+        return (np.zeros((depth, width), dtype=np.int64), {})
+
+    def _rows(h: np.ndarray) -> np.ndarray:
+        # depth x n bucket indices
+        return np.stack([((h * s) >> np.uint64(32)) % np.uint64(width) for s in seeds])
+
+    def accumulate_block(state, block: pa.Table):
+        cms, cand = state[0].copy(), dict(state[1])
+        toks = _flat_tokens(block)
+        if len(toks) == 0:
+            return (cms, cand)
+        denc = pc.dictionary_encode(toks)
+        codes = denc.indices.to_numpy().astype(np.int64)
+        uniq = denc.dictionary.to_pylist()
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        h = _fnv64(uniq)
+        rows = _rows(h)
+        for d in range(depth):
+            np.add.at(cms[d], rows[d].astype(np.int64), counts)
+        for t in uniq:
+            cand[t] = None
+        if len(cand) > max_candidates:
+            # keep the candidates with the largest current estimates
+            ests = _estimate(cms, list(cand))
+            order = np.argsort(-ests)[:max_candidates]
+            names = list(cand)
+            cand = {names[i]: None for i in order}
+        return (cms, cand)
+
+    def _estimate(cms: np.ndarray, terms: list[str]) -> np.ndarray:
+        h = _fnv64(terms)
+        rows = _rows(h)
+        ests = np.full(len(terms), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(depth):
+            ests = np.minimum(ests, cms[d][rows[d].astype(np.int64)])
+        return ests
+
+    def merge(a, b):
+        cand = dict(a[1])
+        cand.update(b[1])
+        cms = a[0] + b[0]
+        if len(cand) > max_candidates:
+            ests = _estimate(cms, list(cand))
+            order = np.argsort(-ests)[:max_candidates]
+            names = list(cand)
+            cand = {names[i]: None for i in order}
+        return (cms, cand)
+
+    def finalize(state):
+        cms, cand = state
+        terms = sorted(cand)  # deterministic tie-break base order
+        if not terms:
+            return []
+        ests = _estimate(cms, terms)
+        order = np.lexsort((np.array(terms, dtype=object), -ests))[:k]
+        return [(terms[i], int(ests[i])) for i in order]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    res = ds.aggregate(
+        AggregateFn(init=init, merge=merge, name="cms",
+                    accumulate_block=accumulate_block, finalize=finalize)
+    )
+    rows = res["cms"]
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in rows], pa.string()),
+            "est_count": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic bottom-k hash sample
+# ---------------------------------------------------------------------------
+
+
+def bottomk_sample(sf_dir: str, n: int = 20) -> "ray.data.Dataset":
+    """The ``n`` doc_ids with the smallest md5(doc_id) — a deterministic,
+    partition-order-independent distributed sample (bottom-k sketch).
+
+    Oracle: ``SELECT doc_id FROM documents ORDER BY
+    md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT n``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        order = sorted(range(len(ids)), key=lambda j: (keys[j], ids[j]))[:n]
+        return pa.table(
+            {
+                "doc_id": pa.array([ids[j] for j in order], pa.int64()),
+                "hkey": pa.array([keys[j] for j in order], pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    # partial bottom-n per batch -> global bottom-n (tiny sort)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["hkey", "doc_id"])
+        .limit(n)
+        .select_columns(["doc_id"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles
+# ---------------------------------------------------------------------------
+
+
+def exact_quantiles_cents(
+    sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> pa.Table:
+    """Exact discrete quantiles of lineitem.l_extendedprice in cents.
+
+    Per-batch (cents, count) partials -> groupby-sum (the exchange is
+    bounded by the number of DISTINCT values, not rows) -> cumulative
+    selection: smallest value v with cum_count >= ceil(q * N)
+    (DuckDB ``quantile_disc`` semantics).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch.column("l_extendedprice").to_numpy() * 100.0).astype(
+            np.int64
+        )
+        vals, counts = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "cents": pa.array(vals, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cents")
+        .sum("cnt")
+        .sort("cents")
+        .take_all()
+    )
+    vals = np.array([r["cents"] for r in hist], dtype=np.int64)
+    cnts = np.array([r["sum(cnt)"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        target = int(np.ceil(q * total))
+        i = int(np.searchsorted(cum, max(target, 1)))
+        out_q.append(float(q))
+        out_v.append(int(vals[min(i, len(vals) - 1)]))
+    return pa.table(
+        {
+            "q": pa.array(out_q, pa.float64()),
+            "cents": pa.array(out_v, pa.int64()),
+        }
+    )
