@@ -336,6 +336,39 @@ def _q_media_decode(sf_dir: str):
     return multimodal.media_pipeline(sf_dir, "decode")
 
 
+def _q_more_like_this(sf_dir: str):
+    """Similar-document search for a few fixed source docs (rows-only;
+    determinism + exclusion pytest-verified in test_match_modes)."""
+    from engine.ids import doc_id_of
+    from engine.query import IndexReader
+
+    out = _build_simple_index(sf_dir)
+    rd = IndexReader(out)
+    rows = []
+    for src in (0, 7, 42):
+        did = doc_id_of(f"testdata/src{src % 10}", f"docs/{src}.txt", "")
+        # corpus mapping uses sha1(text) commits; find the doc by path
+        hits = []
+        for seg_id, _ in enumerate(rd.segment_paths):
+            seg = rd.segment(seg_id)
+            for o, p in enumerate(seg.dpath):
+                if p == f"docs/{src}.txt":
+                    hits = rd.more_like_this(int(seg.doc_ids[o]), k=5)
+                    break
+            if hits:
+                break
+        for h in hits:
+            rows.append(
+                {
+                    "src_doc": src,
+                    "rank": h["rank"],
+                    "doc_id": _source_doc_id(h["path"]),
+                    "score_r": round(h["score"], 4),
+                }
+            )
+    return pa.Table.from_pylist(rows)
+
+
 def _q_hll_distinct(sf_dir: str):
     from engine import sketches
 
@@ -422,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _q_language_id,
         "fingerprint_md5": _q_fingerprint_md5,
         "media_decode": _q_media_decode,
+        "more_like_this": _q_more_like_this,
         "hll_distinct_terms": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bottomk_sample": _q_bottomk_sample,

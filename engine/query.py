@@ -166,6 +166,59 @@ class IndexReader:
             raise ValueError(f"unknown match {match!r}")
         return [(int(seg.doc_ids[o]), s) for o, s in hits]
 
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       max_terms: int = 10) -> list[dict]:
+        """Similar documents: BM25 with the source doc's top terms.
+
+        Query terms = the doc's ``max_terms`` highest tf*idf terms
+        (rarest-first tie-break, then term asc — deterministic).  The
+        source doc itself naturally ranks first and is excluded.
+        """
+        part = doc_id % len(self.segment_paths)
+        seg = self.segment(part)
+        o = int(np.searchsorted(seg.doc_ids, doc_id))
+        if o >= seg.num_docs or int(seg.doc_ids[o]) != doc_id:
+            raise KeyError(f"doc_id {doc_id} not in index")
+        cand = []
+        for term, row in seg.term_idx.items():
+            ords, tfs = seg.decode_idx_cached(row)
+            j = int(np.searchsorted(ords, o))
+            if j < len(ords) and int(ords[j]) == o:
+                df = self.global_df.get(term, 1)
+                w = float(tfs[j]) * bm25.idf(df, self.num_docs)
+                cand.append((-w, term))
+        cand.sort()
+        # score with the term list DIRECTLY (no analyzer round-trip —
+        # index terms are already stemmed; re-analyzing could re-stem)
+        qt = [
+            (t, bm25.idf(self.global_df.get(t, 1), self.num_docs))
+            for _, t in cand[:max_terms]
+        ]
+        pool: list[tuple[float, int, int]] = []
+        for seg_id in range(len(self.segment_paths)):
+            s = self.segment(seg_id)
+            for o2, score in wand.auto_topk(s, qt, k + 1, self.avg_doc_len):
+                pool.append((score, int(s.doc_ids[o2]), seg_id))
+        pool.sort(key=lambda c: (-c[0], c[1]))
+        out = []
+        for score, did, seg_id in pool:
+            if did == doc_id:
+                continue
+            s = self.segment(seg_id)
+            o2 = int(np.searchsorted(s.doc_ids, did))
+            out.append(
+                {
+                    "rank": len(out) + 1,
+                    "doc_id": did,
+                    "score": score,
+                    "repo": str(s.repo[o2]),
+                    "path": str(s.dpath[o2]),
+                }
+            )
+            if len(out) == k:
+                break
+        return out
+
     def search(self, text: str, k: int = 10, mode: str = "auto",
                match: str = "any") -> list[dict]:
         """Single-process search across all segments (serving / latency

@@ -73,3 +73,20 @@ def test_distributed_match_modes(built_index):
             want = oracle(q["text"], q["k"])
             got = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
             assert [r["doc_id"] for r in got] == [d for d, _ in want], (match, q["text"])
+
+
+def test_more_like_this(built_index):
+    rd = IndexReader(built_index["out"])
+    ref = built_index["ref"]
+    some_ids = sorted(ref.doc_meta)[:5]
+    for did in some_ids:
+        a = rd.more_like_this(did, k=5)
+        b = rd.more_like_this(did, k=5)
+        assert a == b  # deterministic
+        assert all(h["doc_id"] != did for h in a)  # source excluded
+        assert len(a) == 5
+        assert [h["rank"] for h in a] == [1, 2, 3, 4, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        rd.more_like_this(123456789, k=3)
