@@ -117,63 +117,8 @@ def build_index(
             concurrency=analyzer_concurrency,
         ).take_all()  # tiny: one row per (analyze task, part touched)
 
-        # ---- stage 2: merge+write tasks; each task handles a RANGE of
-        # partitions so every run file is opened (footer-parsed) once
-        # per task, not once per partition — per-part opens made the
-        # exchange O(P x files) and dominated low-parallelism runs ----
-        refs_by_part: dict[int, list[tuple[str, int]]] = {p: [] for p in remaining}
-        for r in run_summary:
-            refs_by_part[int(r["part"])].append((r["run_path"], int(r["row_group"])))
-
-        if merge_tasks is None:
-            try:
-                cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
-            except Exception:
-                cluster_cpus = 8
-            merge_tasks = max(1, int(4 * cluster_cpus / max(merge_num_cpus, 1)))
-        chunks = [
-            list(c)
-            for c in _split_evenly(remaining, min(len(remaining), merge_tasks))
-        ]
-
-        def merge_chunk(batch: pa.Table) -> pa.Table:
-            rows = []
-            for parts, paths, rgs, rgp in zip(
-                batch.column("parts").to_pylist(),
-                batch.column("paths").to_pylist(),
-                batch.column("rgs").to_pylist(),
-                batch.column("rg_parts").to_pylist(),
-            ):
-                groups = load_run_parts(parts, list(zip(paths, rgs, rgp)))
-                for part in parts:
-                    man = build_segment(groups.pop(part), out_dir, int(part), analyzer)
-                    rows.append(
-                        {
-                            "part": int(part),
-                            "num_docs": man["num_docs"],
-                            "num_postings": man["num_postings"],
-                            "build_seconds": man["build_seconds"],
-                        }
-                    )
-            return pa.Table.from_pylist(rows, schema=SUMMARY_SCHEMA)
-
-        items = []
-        for chunk in chunks:
-            paths, rgs, parts_of = [], [], []
-            for p in chunk:
-                for path, rg in refs_by_part[p]:
-                    paths.append(path)
-                    rgs.append(rg)
-                    parts_of.append(p)
-            items.append(
-                {"parts": chunk, "paths": paths, "rgs": rgs, "rg_parts": parts_of}
-            )
-        # batch_size=1 -> one merge task per chunk (no repartition
-        # all-to-all needed to spread the chunk list across tasks)
-        ray.data.from_items(items).map_batches(
-            merge_chunk, batch_format="pyarrow", batch_size=1,
-            num_cpus=merge_num_cpus,
-        ).materialize()
+        _merge_stage(out_dir, analyzer, run_summary, remaining,
+                     merge_num_cpus, merge_tasks)
         shutil.rmtree(os.path.join(out_dir, "runs"), ignore_errors=True)
 
     stats = finalize_stats(out_dir)
@@ -183,6 +128,135 @@ def build_index(
     stats["postings_per_sec"] = (
         round(stats["total_postings"] / wall, 1) if wall else 0.0
     )
+    return stats
+
+
+def _merge_stage(out_dir: str, analyzer: str, run_summary, remaining,
+                 merge_num_cpus: float, merge_tasks: int | None) -> None:
+    """Stage 2: merge+write tasks; each task handles a RANGE of
+    partitions so every run file is opened (footer-parsed) once per
+    task, not once per partition — per-part opens made the exchange
+    O(P x files) in metadata work and dominated low-parallelism runs."""
+    refs_by_part: dict[int, list[tuple[str, int]]] = {p: [] for p in remaining}
+    for r in run_summary:
+        part = int(r["part"])
+        if part in refs_by_part:
+            refs_by_part[part].append((r["run_path"], int(r["row_group"])))
+
+    if merge_tasks is None:
+        try:
+            cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cluster_cpus = 8
+        merge_tasks = max(1, int(4 * cluster_cpus / max(merge_num_cpus, 1)))
+    chunks = [
+        list(c) for c in _split_evenly(remaining, min(len(remaining), merge_tasks))
+    ]
+
+    def merge_chunk(batch: pa.Table) -> pa.Table:
+        rows = []
+        for parts, paths, rgs, rgp in zip(
+            batch.column("parts").to_pylist(),
+            batch.column("paths").to_pylist(),
+            batch.column("rgs").to_pylist(),
+            batch.column("rg_parts").to_pylist(),
+        ):
+            groups = load_run_parts(parts, list(zip(paths, rgs, rgp)))
+            for part in parts:
+                man = build_segment(groups.pop(part), out_dir, int(part), analyzer)
+                rows.append(
+                    {
+                        "part": int(part),
+                        "num_docs": man["num_docs"],
+                        "num_postings": man["num_postings"],
+                        "build_seconds": man["build_seconds"],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=SUMMARY_SCHEMA)
+
+    items = []
+    for chunk in chunks:
+        paths, rgs, parts_of = [], [], []
+        for p in chunk:
+            for path, rg in refs_by_part[p]:
+                paths.append(path)
+                rgs.append(rg)
+                parts_of.append(p)
+        items.append(
+            {"parts": chunk, "paths": paths, "rgs": rgs, "rg_parts": parts_of}
+        )
+    # batch_size=1 -> one merge task per chunk (no repartition
+    # all-to-all needed to spread the chunk list across tasks)
+    ray.data.from_items(items).map_batches(
+        merge_chunk, batch_format="pyarrow", batch_size=1,
+        num_cpus=merge_num_cpus,
+    ).materialize()
+
+
+def merge_indexes(
+    index_dirs: list[str],
+    out_dir: str,
+    num_parts: int | None = None,
+    resume: bool = False,
+    merge_num_cpus: float = 2.0,
+    merge_tasks: int | None = None,
+) -> dict:
+    """Merge N existing indexes into a fresh one WITHOUT re-analysis
+    (Lucene-style segment merge, distributed).
+
+    Each input segment is decoded back to its exact ANALYZED_DOC rows
+    (engine.segments.segment_to_analyzed), re-partitioned for the
+    output ``num_parts`` (default: max of the inputs'), written as a
+    content-addressed run, and the standard merge stage builds the
+    output segments.  Duplicate docs across inputs collapse by the
+    build's D1 rule.  Because every step is deterministic, merging
+    split-built indexes is byte-identical to a direct build of the
+    combined corpus (tests/test_merge_indexes.py).
+    """
+    t0 = time.perf_counter()
+    manifests = [checkpoint.read_build_manifest(d) for d in index_dirs]
+    analyzers = {m["analyzer"] for m in manifests}
+    if len(analyzers) != 1:
+        raise ValueError(f"cannot merge indexes with different analyzers: {analyzers}")
+    analyzer = analyzers.pop()
+    if num_parts is None:
+        num_parts = max(m["num_parts"] for m in manifests)
+    checkpoint.write_build_manifest(
+        out_dir, num_parts, analyzer, source="merge:" + ",".join(index_dirs)
+    )
+    done = checkpoint.completed_parts(out_dir)
+    if done and not resume:
+        raise ValueError(
+            f"{out_dir} already holds {len(done)} segments; pass resume=True "
+            "or use a fresh out_dir"
+        )
+    remaining = sorted(set(range(num_parts)) - done)
+
+    if remaining:
+        shutil.rmtree(os.path.join(out_dir, "runs"), ignore_errors=True)
+        runs_dir = os.path.join(out_dir, "runs")
+        seg_paths = [p for d in index_dirs for p in list_segments(d)]
+
+        def reconstruct(batch: pa.Table) -> pa.Table:
+            from .postings import write_run
+            from .segments import segment_to_analyzed
+
+            outs = []
+            for path in batch.column("item").to_pylist():
+                outs.append(write_run(segment_to_analyzed(path, num_parts), runs_dir))
+            return pa.concat_tables(outs)
+
+        run_summary = (
+            ray.data.from_items(seg_paths)
+            .map_batches(reconstruct, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+        _merge_stage(out_dir, analyzer, run_summary, remaining,
+                     merge_num_cpus, merge_tasks)
+        shutil.rmtree(runs_dir, ignore_errors=True)
+
+    stats = finalize_stats(out_dir)
+    stats["merge_wall_seconds"] = round(time.perf_counter() - t0, 3)
     return stats
 
 

@@ -5,6 +5,7 @@ unchanged on N-node and 4N-node clusters, reporting indexing throughput
 
 Commands:
   build   — build (or --resume) an index over a Parquet corpus
+  merge   — merge existing indexes into one (no re-analysis)
   query   — serve a query file (JSONL/parquet) against an index
   stats   — print an index's collection stats + per-segment metrics
   bench   — headline build+query benchmark (same code path as bench.py)
@@ -97,6 +98,16 @@ def _load_queries(path: str, default_k: int) -> list[dict]:
     return out
 
 
+def cmd_merge(args: argparse.Namespace) -> int:
+    _ray_up(args.num_cpus)
+    from .build import merge_indexes
+
+    stats = merge_indexes(args.indexes, args.out, num_parts=args.num_parts,
+                          resume=args.resume)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_stats(args: argparse.Namespace) -> int:
     from .checkpoint import read_collection_stats, read_segment_manifests
 
@@ -145,6 +156,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--latency", action="store_true")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    mg = sub.add_parser("merge", help="merge existing indexes (no re-analysis)")
+    mg.add_argument("indexes", nargs="+", help="input index dirs")
+    mg.add_argument("out", help="output index dir")
+    mg.add_argument("--num-parts", type=int, default=None)
+    mg.add_argument("--resume", action="store_true")
+    mg.add_argument("--num-cpus", type=int, default=None)
+    mg.set_defaults(fn=cmd_merge)
 
     s = sub.add_parser("stats", help="show index stats")
     s.add_argument("index")

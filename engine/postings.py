@@ -296,47 +296,52 @@ class AnalyzeWriteRuns(AnalyzeDocs):
     def __init__(self, analyzer: str, out_dir: str):
         super().__init__(analyzer)
         self._out = os.path.join(out_dir, "runs")
-        self._opts = pa.ipc.IpcWriteOptions(compression="lz4")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        analyzed = super().__call__(batch).combine_chunks()
-        order = pc.sort_indices(
-            analyzed,
-            sort_keys=[
-                ("part", "ascending"),
-                ("doc_id", "ascending"),
-                ("content_sha256", "ascending"),
-            ],
-        )
-        analyzed = analyzed.take(order).combine_chunks()
-        parts = analyzed.column("part").to_numpy()
-        ids = analyzed.column("doc_id").to_numpy()
-        digest = hashlib.sha256(np.sort(ids).tobytes()).hexdigest()[:32]
-        os.makedirs(self._out, exist_ok=True)
-        final = os.path.join(self._out, f"run-{digest}.arrow")
+        return write_run(super().__call__(batch), self._out)
 
-        bounds = np.concatenate(
-            ([0], np.nonzero(np.diff(parts))[0] + 1, [len(parts)])
-        )
-        uniq_parts = parts[bounds[:-1]] if len(parts) else np.zeros(0, np.int32)
-        if not os.path.exists(final):  # idempotent under retry
-            tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
-            with pa.ipc.new_file(tmp, analyzed.schema, options=self._opts) as w:
-                for i in range(len(uniq_parts)):
-                    chunk = analyzed.slice(bounds[i], bounds[i + 1] - bounds[i])
-                    w.write_table(chunk)  # one record batch (contiguous slice)
-            try:
-                os.rename(tmp, final)
-            except OSError:
-                os.unlink(tmp)
-        return pa.table(
-            {
-                "part": pa.array(uniq_parts.astype(np.int32), pa.int32()),
-                "num_docs": pa.array(np.diff(bounds), pa.int64()),
-                "run_path": pa.array([final] * len(uniq_parts), pa.string()),
-                "row_group": pa.array(np.arange(len(uniq_parts), dtype=np.int32), pa.int32()),
-            }
-        )
+
+def write_run(analyzed: pa.Table, runs_dir: str) -> pa.Table:
+    """Write one ANALYZED_DOC table as a content-addressed IPC run file
+    (one record batch per partition, rows sorted by part/doc_id/sha);
+    returns its RUN_SUMMARY rows.  Idempotent under retry."""
+    analyzed = analyzed.combine_chunks()
+    order = pc.sort_indices(
+        analyzed,
+        sort_keys=[
+            ("part", "ascending"),
+            ("doc_id", "ascending"),
+            ("content_sha256", "ascending"),
+        ],
+    )
+    analyzed = analyzed.take(order).combine_chunks()
+    parts = analyzed.column("part").to_numpy()
+    ids = analyzed.column("doc_id").to_numpy()
+    digest = hashlib.sha256(np.sort(ids).tobytes()).hexdigest()[:32]
+    os.makedirs(runs_dir, exist_ok=True)
+    final = os.path.join(runs_dir, f"run-{digest}.arrow")
+
+    bounds = np.concatenate(([0], np.nonzero(np.diff(parts))[0] + 1, [len(parts)]))
+    uniq_parts = parts[bounds[:-1]] if len(parts) else np.zeros(0, np.int32)
+    if not os.path.exists(final):  # idempotent under retry
+        opts = pa.ipc.IpcWriteOptions(compression="lz4")
+        tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+        with pa.ipc.new_file(tmp, analyzed.schema, options=opts) as w:
+            for i in range(len(uniq_parts)):
+                chunk = analyzed.slice(bounds[i], bounds[i + 1] - bounds[i])
+                w.write_table(chunk)  # one record batch (contiguous slice)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            os.unlink(tmp)
+    return pa.table(
+        {
+            "part": pa.array(uniq_parts.astype(np.int32), pa.int32()),
+            "num_docs": pa.array(np.diff(bounds), pa.int64()),
+            "run_path": pa.array([final] * len(uniq_parts), pa.string()),
+            "row_group": pa.array(np.arange(len(uniq_parts), dtype=np.int32), pa.int32()),
+        }
+    )
 
 
 def load_run_parts(

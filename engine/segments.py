@@ -434,6 +434,78 @@ class Segment:
         return ords, tfs
 
 
+def segment_to_analyzed(path: str, num_parts_out: int) -> pa.Table:
+    """Reconstruct a segment's ANALYZED_DOC rows exactly (inverse of the
+    build): per-doc sorted terms, tfs, positions, metadata.
+
+    This is what makes indexes MERGEABLE without re-analysis
+    (engine.build.merge_indexes): postings/positions are decoded once,
+    regrouped doc-major, and re-partitioned for the target index's
+    ``num_parts_out``.
+    """
+    from .postings import ANALYZED_DOC
+
+    seg = Segment(path)
+    docs = pq.read_table(os.path.join(path, "docs.parquet"))
+    n = docs.num_rows
+    # dict.parquet rows are written in term-string order; iterate rows
+    # in order so a stable sort by ordinal yields per-doc sorted terms
+    term_rows = sorted(seg.term_idx.items())
+    ord_parts, tid_parts, tf_parts = [], [], []
+    pos_parts: list[np.ndarray] = []
+    term_strs: list[str] = []
+    for t, row in term_rows:
+        ords, tfs = seg.decode_idx(row)
+        poss = seg.decode_positions(t)
+        term_strs.append(t)
+        tid = len(term_strs) - 1
+        ord_parts.append(ords)
+        tid_parts.append(np.full(len(ords), tid, np.int64))
+        tf_parts.append(tfs)
+        pos_parts.extend(poss)
+    if term_strs:
+        ord_all = np.concatenate(ord_parts)
+        tid_all = np.concatenate(tid_parts)
+        tf_all = np.concatenate(tf_parts)
+    else:
+        ord_all = tid_all = tf_all = np.zeros(0, np.int64)
+    perm = np.argsort(ord_all, kind="stable")
+    s_ord = ord_all[perm]
+    s_tid = tid_all[perm]
+    s_tf = tf_all[perm]
+    s_pos = [pos_parts[i] for i in perm]
+
+    counts = np.bincount(s_ord, minlength=n).astype(np.int64) if n else np.zeros(0, np.int64)
+    off32 = pa.array(np.concatenate(([0], np.cumsum(counts))), pa.int32())
+    term_dict = pa.array(term_strs, pa.string())
+    terms_child = (
+        term_dict.take(pa.array(s_tid, pa.int64())) if len(s_tid) else pa.array([], pa.string())
+    )
+    flat_pos = (
+        np.concatenate(s_pos) if s_pos else np.zeros(0, np.int64)
+    ).astype(np.int32)
+    pos_lens = np.array([len(p) for p in s_pos], dtype=np.int64)
+    pos_off32 = pa.array(np.concatenate(([0], np.cumsum(pos_lens))), pa.int32())
+    poslists_inner = pa.ListArray.from_arrays(pos_off32, pa.array(flat_pos, pa.int32()))
+
+    doc_ids = docs.column("doc_id").to_numpy()
+    return pa.table(
+        {
+            "doc_id": docs.column("doc_id"),
+            "part": pa.array((doc_ids % num_parts_out).astype(np.int32), pa.int32()),
+            "doc_len": docs.column("doc_len"),
+            "terms": pa.ListArray.from_arrays(off32, terms_child),
+            "tfs": pa.ListArray.from_arrays(off32, pa.array(s_tf.astype(np.int32), pa.int32())),
+            "poslists": pa.ListArray.from_arrays(off32, poslists_inner),
+            "repo": docs.column("repo"),
+            "path": docs.column("path"),
+            "commit": docs.column("commit"),
+            "lang": docs.column("lang"),
+            "content_sha256": docs.column("content_sha256"),
+        }
+    ).cast(ANALYZED_DOC)
+
+
 def _list_col(t: pa.Table, name: str) -> list[np.ndarray]:
     col = _arr(t, name)
     flat = col.flatten().to_numpy(zero_copy_only=False)
