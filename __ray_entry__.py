@@ -544,8 +544,11 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_TOK2}) GROUP BY term ORDER BY cf DESC, term LIMIT 20"
         ),
         "collection_stats": (
-            f"SELECT count(*) AS num_docs, sum(c) AS total_tokens, "
-            f"avg(c) AS avg_doc_len FROM "
+            # CAST sum to BIGINT (DuckDB sum(BIGINT) is HUGEINT -> pandas
+            # float64, which hash-mismatches the engine's int64) and round
+            # the avg to 6 dp on both sides (round6 invariant).
+            f"SELECT count(*) AS num_docs, CAST(sum(c) AS BIGINT) AS total_tokens, "
+            f"CAST(round(avg(c), 6) AS DOUBLE) AS avg_doc_len FROM "
             f"(SELECT doc_id, count(*) AS c FROM ({_TOK2}) GROUP BY doc_id)"
         ),
         "bm25_topk_nostem": _bm25_sql(),

@@ -317,7 +317,14 @@ def write_run(analyzed: pa.Table, runs_dir: str) -> pa.Table:
     analyzed = analyzed.take(order).combine_chunks()
     parts = analyzed.column("part").to_numpy()
     ids = analyzed.column("doc_id").to_numpy()
-    digest = hashlib.sha256(np.sort(ids).tobytes()).hexdigest()[:32]
+    # Content-address by (doc_id, content_sha256) pairs in canonical
+    # (part, doc_id, sha) order — doc_ids alone can collide for two
+    # batches holding duplicate-keyed rows with DIFFERENT content, which
+    # would silently alias two distinct runs to one file name.
+    h = hashlib.sha256(ids.tobytes())
+    for s in analyzed.column("content_sha256").to_pylist():
+        h.update(s.encode())
+    digest = h.hexdigest()[:32]
     os.makedirs(runs_dir, exist_ok=True)
     final = os.path.join(runs_dir, f"run-{digest}.arrow")
 

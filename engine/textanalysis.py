@@ -22,8 +22,11 @@ import ray.data
 from .functions import round6, round6_scalar
 
 # BPE-ish word/number/punctuation splitter used for token counting:
-# letter runs, digit runs, or single non-space symbols.
-_BPEISH = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+# letter runs, digit runs, or single non-space symbols.  The symbol
+# class is [^a-z0-9 \t\n] — EXACTLY the DuckDB oracle's class (\s would
+# additionally exclude \r \f \v and unicode whitespace, silently
+# diverging from the oracle on texts containing them).
+_BPEISH = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n]")
 
 # Tiny per-language stopword profiles (language-ID heuristic).  The
 # driver documents table carries lang in {en,es,de,fr,zh}; profiles are

@@ -111,7 +111,13 @@ def top_terms(sf_dir: str, n: int = 20) -> "ray.data.Dataset":
 
 
 def collection_stats(sf_dir: str) -> pa.Table:
-    """Single-row global aggregates (G4): Ray Data count/sum/mean."""
+    """Single-row global aggregates (G4): Ray Data count/sum/mean.
+
+    avg_doc_len goes through round6 (the repo's cross-engine float
+    invariant); the oracle rounds with round(avg(c), 6) on its side.
+    """
+    from .functions import round6_scalar
+
     dl = doc_lengths(sf_dir)
     agg = dl.aggregate(
         ray.data.aggregate.Count(),
@@ -122,6 +128,8 @@ def collection_stats(sf_dir: str) -> pa.Table:
         {
             "num_docs": pa.array([int(agg["count()"])], pa.int64()),
             "total_tokens": pa.array([int(agg["sum(doc_len)"])], pa.int64()),
-            "avg_doc_len": pa.array([float(agg["mean(doc_len)"])], pa.float64()),
+            "avg_doc_len": pa.array(
+                [round6_scalar(float(agg["mean(doc_len)"]))], pa.float64()
+            ),
         }
     )

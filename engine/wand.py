@@ -370,7 +370,7 @@ def exhaustive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
     if cand.size == 0:
         return []
     sc = scores[cand]
-    if cand.size > 4 * k:
+    if k > 0 and cand.size > 4 * k:
         # exact pre-selection: keep every candidate scoring >= the k-th
         # largest (ties INCLUDED, so the doc_id tie-break below still
         # sees all of them), then sort only that small set

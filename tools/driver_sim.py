@@ -17,6 +17,8 @@ import ray
 ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
+import logging
+logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __ray_entry__ as e
@@ -34,9 +36,12 @@ def to_pandas(res):
 
 
 def vhash(df: pd.DataFrame) -> str:
+    # NO float_format: default full repr keeps dtype drift visible
+    # (int64 27165 vs float64 27165.0 must hash differently, like the
+    # real driver's compare — %.6g used to mask exactly that bug).
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    s = df.to_csv(index=False, float_format="%.6g")
+    s = df.to_csv(index=False)
     return hashlib.sha256(s.encode()).hexdigest()[:12]
 
 
