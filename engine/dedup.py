@@ -11,13 +11,20 @@ partials, not token streams.
 Scale notes (100 TB corpus):
 - exact_dedup moves one 16-byte digest row per doc; the groupby is the
   only exchange.
-- ngram_jaccard_pairs materializes candidate PAIRS; at corpus scale it
-  must be gated behind minhash_lsh_pairs (which prunes candidates to
-  LSH-colliding ones) — exposed here separately so the exact operator
-  stays an oracle-checkable building block.
+- ngram_jaccard_pairs is the EXACT, oracle-checkable building block: it
+  materializes candidate PAIRS for every shared shingle (inherently
+  quadratic in shingle-bucket size, no caps — the DuckDB oracle has
+  none either).  At corpus scale it must be gated behind
+  minhash_lsh_pairs, whose banding prunes candidates to LSH collisions.
+  Per-doc shingle-set sizes travel through a distributed join onto the
+  pair table — NOTHING corpus-sized is ever collected to the driver.
 - minhash signatures are fixed-width (NUM_HASHES u64), so the band
-  exchange is O(docs x bands) small rows; verification re-computes
-  exact Jaccard only for colliding pairs.
+  exchange is O(docs x bands) small rows; exact verification
+  re-shingles only CANDIDATE docs (broadcast candidate-id filter) and
+  computes intersections with the same bucketed-groupby exchange.
+- embedding_dup_pairs generates candidates via random-hyperplane band
+  buckets and exact-verifies inside each bucket; the brute-force
+  all-pairs matmul survives as ``method="brute"``, the pytest oracle.
 """
 
 from __future__ import annotations
@@ -31,7 +38,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .functions import round6, round6_scalar
+from .functions import FNV_OFFSET, FNV_PRIME, fnv1a64_arr, round6
 
 # ---------------------------------------------------------------------------
 # shared tokenization / shingling (whitespace tokens — SQL-replicable)
@@ -58,38 +65,114 @@ def _tokens(batch: pa.Table) -> tuple[np.ndarray, pa.Array]:
     return counts, flat.filter(pa.array(nonempty))
 
 
-def _shingle_hashes(batch: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per doc: DISTINCT word n-gram hashes (uint64).
-
-    Returns (doc_rep, shingle_hash) flat arrays.  The hash is a 64-bit
-    FNV-1a over the joined shingle string — stable across runs and
-    processes (no PYTHONHASHSEED dependence).
-    """
+def _token_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """-> (per-doc token counts, per-token FNV-1a u64 hash).  Only the
+    DISTINCT tokens (Zipf-small) are hashed; occurrences are expanded by
+    dictionary codes — no per-token Python loop."""
     counts, flat = _tokens(batch)
-    toks = flat.to_pylist()
+    if len(flat) == 0:
+        return counts, np.empty(0, np.uint64)
+    denc = pc.dictionary_encode(flat)
+    codes = denc.indices.to_numpy().astype(np.int64)
+    vocab_h = fnv1a64_arr(denc.dictionary.to_pylist())
+    return counts, vocab_h[codes]
+
+
+def _shingle_hashes(batch: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per doc: DISTINCT word n-gram hashes (uint64), fully vectorized.
+
+    The shingle hash mixes the n token hashes FNV-1a-style over their
+    8-byte words (position-sensitive), so it is stable across runs and
+    processes and identifies the shingle as a SET element; all Jaccard
+    operators use the same hash, so set semantics are consistent
+    (64-bit collisions are negligible at any realistic scale).
+
+    Returns (doc index per shingle, shingle hash), sorted by
+    (doc, hash) with per-doc duplicates removed.  Docs with < n tokens
+    emit nothing.
+    """
+    counts, th = _token_hashes(batch)
+    ns = np.maximum(counts - (n - 1), 0)
+    total = int(ns.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
     bounds = np.concatenate(([0], np.cumsum(counts)))
-    doc_out: list[int] = []
-    h_out: list[int] = []
-    for d in range(len(counts)):
-        lo, hi = int(bounds[d]), int(bounds[d + 1])
-        if hi - lo < n:
-            continue
-        seen = set()
-        words = toks[lo:hi]
-        for i in range(hi - lo - n + 1):
-            s = " ".join(words[i : i + n])
-            if s not in seen:
-                seen.add(s)
-                h_out.append(_fnv1a64(s))
-                doc_out.append(d)
-    return np.asarray(doc_out, dtype=np.int64), np.asarray(h_out, dtype=np.uint64)
+    sdoc = np.repeat(np.arange(len(counts), dtype=np.int64), ns)
+    sbounds = np.concatenate(([0], np.cumsum(ns)))
+    within = np.arange(total, dtype=np.int64) - np.repeat(sbounds[:-1], ns)
+    starts = np.repeat(bounds[:-1], ns) + within
+    h = np.full(total, FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(FNV_PRIME)
+    for j in range(n):
+        t = th[starts + j]
+        h = (h ^ (t & np.uint64(0xFFFFFFFF))) * prime
+        h = (h ^ (t >> np.uint64(32))) * prime
+    order = np.lexsort((h, sdoc))
+    sd, sh = sdoc[order], h[order]
+    keep = np.ones(total, dtype=bool)
+    keep[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+    return sd[keep], sh[keep]
 
 
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for b in s.encode():
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def _explode_shingles(batch: pa.Table, n: int) -> pa.Table:
+    """(sh:uint64, doc_id:int64) rows — one per distinct (doc, shingle)."""
+    doc_rep, hashes = _shingle_hashes(batch, n)
+    ids = batch.column("doc_id").to_numpy()
+    return pa.table(
+        {
+            "sh": pa.array(hashes, pa.uint64()),
+            "doc_id": pa.array(ids[doc_rep], pa.int64()),
+        }
+    )
+
+
+_EMPTY_PAIRS = pa.table(
+    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+)
+
+
+def _jaccard_from_inter(
+    inter: "ray.data.Dataset",
+    sizes: "ray.data.Dataset",
+    threshold: float,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """(a, b, inter_n) x (doc_id, sz) -> (a, b, jaccard_r >= threshold).
+
+    Sizes are attached with two DISTRIBUTED hash joins (on a, then b) —
+    the per-doc size table never touches the driver.
+    """
+    sz_a = sizes.map_batches(
+        lambda t: t.rename_columns(["a_key", "sz_a"]), batch_format="pyarrow"
+    )
+    sz_b = sizes.map_batches(
+        lambda t: t.rename_columns(["b_key", "sz_b"]), batch_format="pyarrow"
+    )
+    joined = inter.join(
+        sz_a, join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=("a_key",),
+    ).join(
+        sz_b, join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=("b_key",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        c = batch.column("inter_n").to_numpy().astype(np.float64)
+        ca = batch.column("sz_a").to_numpy().astype(np.float64)
+        cb = batch.column("sz_b").to_numpy().astype(np.float64)
+        j = c / (ca + cb - c)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "jaccard_r": pa.array(round6(j[keep]), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -131,82 +214,88 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5) -> "ray.data.Dataset":
-    """All doc pairs with word-``n``-gram Jaccard >= threshold.
+def ngram_jaccard_pairs(
+    sf_dir: str, n: int = 3, threshold: float = 0.5, num_partitions: int = 8
+) -> "ray.data.Dataset":
+    """All doc pairs with word-``n``-gram Jaccard >= threshold (EXACT).
 
     Pipeline: per-doc distinct shingle hashes -> explode (shingle, doc)
     -> groupby(shingle).map_groups(emit in-bucket pairs) -> groupby
-    (a, b) count = |intersection| -> join per-doc shingle counts
-    (broadcast: the count map is 8 bytes/doc) -> jaccard + filter.
-    Returns (a, b, jaccard_r) with a < b, jaccard rounded to 6 dp.
+    (a, b) count = |intersection| -> distributed join of per-doc
+    shingle counts onto the pair table -> jaccard + filter.  Returns
+    (a, b, jaccard_r) with a < b, jaccard rounded to 6 dp.
+
+    No hot-shingle cap: this is the exact operator the DuckDB oracle
+    checks, and the oracle has no cap.  A shingle shared by B docs
+    emits B(B-1)/2 pairs — inherently quadratic; at corpus scale gate
+    behind minhash_lsh_pairs (LSH-pruned candidates).
     """
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    exploded = docs.map_batches(
+        lambda b: _explode_shingles(b, n), batch_format="pyarrow"
+    )
 
-    def explode(batch: pa.Table) -> pa.Table:
-        doc_rep, hashes = _shingle_hashes(batch, n)
-        ids = batch.column("doc_id").to_numpy()
-        return pa.table(
-            {
-                "sh": pa.array(hashes, pa.uint64()),
-                "doc_id": pa.array(ids[doc_rep], pa.int64()),
-            }
-        )
-
-    exploded = docs.map_batches(explode, batch_format="pyarrow")
-
-    # per-doc shingle set sizes (collected to the driver: 1 row/doc, then
-    # broadcast via ray.put — a lookup, not a shuffle join)
-    sizes_ds = exploded.groupby("doc_id").count()
-    sizes = {
-        r["doc_id"]: r["count()"] for r in sizes_ds.iter_rows()
-    }
-    sizes_ref = ray.put(sizes)
+    sizes = exploded.groupby("doc_id").count().map_batches(
+        lambda t: t.rename_columns(["doc_id", "sz"]), batch_format="pyarrow"
+    )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = np.sort(group.column("doc_id").to_numpy())
-        if len(ids) < 2 or len(ids) > 1000:  # hot-shingle guard (stopword shingles)
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        if len(ids) < 2:
+            return _EMPTY_PAIRS
         a_idx, b_idx = np.triu_indices(len(ids), k=1)
         return pa.table(
             {"a": pa.array(ids[a_idx], pa.int64()), "b": pa.array(ids[b_idx], pa.int64())}
         )
 
-    pairs = exploded.groupby("sh").map_groups(bucket_pairs, batch_format="pyarrow")
-    inter = pairs.groupby(["a", "b"]).count()
-
-    def finish(batch: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
-        a = batch.column("a").to_numpy()
-        b = batch.column("b").to_numpy()
-        c = batch.column("count()").to_numpy().astype(np.float64)
-        ca = np.array([sz[x] for x in a], dtype=np.float64)
-        cb = np.array([sz[x] for x in b], dtype=np.float64)
-        j = c / (ca + cb - c)
-        keep = j >= threshold
-        return pa.table(
-            {
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-                "jaccard_r": pa.array(round6(j[keep]), pa.float64()),
-            }
+    inter = (
+        exploded.groupby("sh")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["a", "b", "inter_n"]), batch_format="pyarrow"
         )
-
-    return inter.map_batches(finish, batch_format="pyarrow")
+    )
+    return _jaccard_from_inter(inter, sizes, threshold, num_partitions)
 
 
 # ---------------------------------------------------------------------------
-# D-MH: MinHash + LSH candidate pairs, exact-verified
+# D-MH: MinHash + LSH candidate pairs, exact-verified (distributed)
 # ---------------------------------------------------------------------------
 
 
 def _minhash_params() -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic affine family h_i(x) = (a_i * x + b_i) mod p."""
+    """Deterministic affine family h_i(x) = (a_i * x + b_i) mod p,
+    p = 2^61 - 1.  a is drawn < 2^31 so every product in the split
+    modular multiply below fits uint64 EXACTLY (the family really is
+    the documented affine family — verified vs big-int arithmetic in
+    tests/test_dedup.py)."""
     rng = np.random.RandomState(0xC0FFEE & 0x7FFFFFFF)
-    a = rng.randint(1, MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(1, 1 << 31, size=NUM_HASHES, dtype=np.int64).astype(np.uint64)
     b = rng.randint(0, MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.uint64)
     return a, b
+
+
+def _affine_mod_mersenne(a: np.uint64, b: np.uint64, x: np.ndarray) -> np.ndarray:
+    """(a*x + b) mod (2^61-1), exact in uint64, vectorized over x < p.
+
+    a < 2^31.  Split x = x_hi*2^32 + x_lo (x_hi < 2^29):
+      a*x_hi < 2^60 and a*x_lo < 2^63 — both exact in uint64;
+      (t_hi << 32) mod p via t_hi = u*2^29 + v and 2^61 ≡ 1 (mod p):
+      t_hi*2^32 = u*2^61 + v*2^32 ≡ u + v*2^32, all terms < 2^62.
+    """
+    P = np.uint64(MERSENNE)
+    x_hi = x >> np.uint64(32)
+    x_lo = x & np.uint64(0xFFFFFFFF)
+    t_hi = (a * x_hi) % P
+    t_lo = (a * x_lo) % P
+    u = t_hi >> np.uint64(29)
+    v = t_hi & np.uint64((1 << 29) - 1)
+    sh = u + (v << np.uint64(32))
+    return (sh + t_lo + b) % P
 
 
 def _signatures(batch: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -218,35 +307,37 @@ def _signatures(batch: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray]:
         return np.zeros(0, np.int64), np.zeros((0, NUM_HASHES), np.uint64)
     A, B = _minhash_params()
     x = (hashes % np.uint64(MERSENNE)).astype(np.uint64)
-    # python-object modmul is exact; vectorize via object dtype only at
-    # the reduceat level: use 128-bit-safe double-split multiply instead
-    hi = x >> np.uint64(32)
-    lo = x & np.uint64(0xFFFFFFFF)
     uniq_docs, starts = np.unique(doc_rep, return_index=True)
     sig = np.empty((len(uniq_docs), NUM_HASHES), dtype=np.uint64)
     bounds = np.append(starts, len(doc_rep))
     for j in range(NUM_HASHES):
-        aj, bj = A[j], B[j]
-        # (a*x + b) mod p with p = 2^61-1 using split multiply:
-        # a*x = a*hi*2^32 + a*lo; reduce each part mod p
-        t1 = (aj * hi) % np.uint64(MERSENNE)
-        t1 = (t1 << np.uint64(32)) % np.uint64(MERSENNE)
-        t2 = (aj * lo) % np.uint64(MERSENNE)
-        hv = (t1 + t2 + bj) % np.uint64(MERSENNE)
+        hv = _affine_mod_mersenne(A[j], B[j], x)
         sig[:, j] = np.minimum.reduceat(hv, bounds[:-1])
     return ids[uniq_docs], sig
 
 
 def minhash_lsh_pairs(
-    sf_dir: str, n: int = 3, threshold: float = 0.5
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    num_partitions: int = 8,
 ) -> "ray.data.Dataset":
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
-    map_batches(signatures) -> explode (band_id, bucket_hash, doc_id) ->
-    groupby bucket -> candidate pairs -> dedupe -> exact-verify (shingle
-    sets of candidates only, broadcast) -> (a, b, jaccard_r).
-    Candidate recall vs the exact operator is property-tested in
-    tests/test_dedup.py (banding theory: P[collide] = 1-(1-j^r)^b).
+    Stage 1 (candidates): map_batches(signatures) -> explode
+    (band bucket, doc_id) -> groupby(bucket) -> in-bucket pairs ->
+    dedupe.  Candidate recall vs the exact operator is property-tested
+    in tests/test_dedup.py (banding theory: P[collide] = 1-(1-j^r)^b).
+    Hot buckets (> max_bucket docs agreeing on a band — degenerate
+    near-identical content) are skipped in THIS approximate stage only.
+
+    Stage 2 (exact verify, DISTRIBUTED): only the candidate PAIR list —
+    already LSH-pruned, O(near-dups) — is collected; its doc-id set is
+    broadcast as a filter, candidate docs are re-shingled in place, and
+    intersections/sizes flow through the same bucketed groupby + join
+    path as ngram_jaccard_pairs.  No corpus-sized state ever reaches
+    the driver.
     """
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -261,12 +352,12 @@ def minhash_lsh_pairs(
         view = sig.reshape(len(ids), BANDS, ROWS_PER_BAND)
         buckets = np.empty((len(ids), BANDS), dtype=np.uint64)
         for bnd in range(BANDS):
-            h = np.full(len(ids), 0xCBF29CE484222325, dtype=np.uint64)
-            h = (h ^ np.uint64(bnd)) * np.uint64(0x100000001B3)
+            h = np.full(len(ids), FNV_OFFSET, dtype=np.uint64)
+            h = (h ^ np.uint64(bnd)) * np.uint64(FNV_PRIME)
             for r in range(ROWS_PER_BAND):
                 col = view[:, bnd, r]
-                h = (h ^ (col & np.uint64(0xFFFFFFFF))) * np.uint64(0x100000001B3)
-                h = (h ^ (col >> np.uint64(32))) * np.uint64(0x100000001B3)
+                h = (h ^ (col & np.uint64(0xFFFFFFFF))) * np.uint64(FNV_PRIME)
+                h = (h ^ (col >> np.uint64(32))) * np.uint64(FNV_PRIME)
             buckets[:, bnd] = h
         return pa.table(
             {
@@ -277,8 +368,8 @@ def minhash_lsh_pairs(
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = np.unique(group.column("doc_id").to_numpy())
-        if len(ids) < 2 or len(ids) > 1000:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return _EMPTY_PAIRS
         ai, bi = np.triu_indices(len(ids), k=1)
         return pa.table(
             {"a": pa.array(ids[ai], pa.int64()), "b": pa.array(ids[bi], pa.int64())}
@@ -291,40 +382,58 @@ def minhash_lsh_pairs(
         .groupby(["a", "b"])
         .count()
     )
+    # candidate pairs are the LSH-pruned near-output: small by
+    # construction (bounded by collisions, not corpus size)
+    cand_rows = cand.select_columns(["a", "b"]).take_all()
+    if not cand_rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard_r": pa.array([], pa.float64()),
+                }
+            )
+        )
+    pair_set = {(int(r["a"]), int(r["b"])) for r in cand_rows}
+    cand_ids = pa.array(sorted({x for p in pair_set for x in p}), pa.int64())
+    pair_ref = ray.put(pair_set)
 
-    # exact verification of candidates: shingle sets broadcast once
-    shingle_sets: dict[int, set] = {}
-    for b in docs.iter_batches(batch_format="pyarrow"):
-        doc_rep, hashes = _shingle_hashes(b, n)
-        ids = b.column("doc_id").to_numpy()
-        for d, h in zip(doc_rep, hashes):
-            shingle_sets.setdefault(int(ids[d]), set()).add(int(h))
-    sets_ref = ray.put(shingle_sets)
+    def explode_candidates(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch.column("doc_id"), value_set=cand_ids))
+        return _explode_shingles(batch, n)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        ss = ray.get(sets_ref)
-        a = batch.column("a").to_numpy()
-        b = batch.column("b").to_numpy()
-        keep_a, keep_b, js = [], [], []
-        for x, y in zip(a, b):
-            sx, sy = ss.get(int(x), set()), ss.get(int(y), set())
-            if not sx or not sy:
-                continue
-            inter = len(sx & sy)
-            j = inter / (len(sx) + len(sy) - inter)
-            if j >= threshold:
-                keep_a.append(int(x))
-                keep_b.append(int(y))
-                js.append(round6_scalar(j))
+    cand_shingles = docs.map_batches(explode_candidates, batch_format="pyarrow")
+    sizes = cand_shingles.groupby("doc_id").count().map_batches(
+        lambda t: t.rename_columns(["doc_id", "sz"]), batch_format="pyarrow"
+    )
+
+    def bucket_pairs_cand(group: pa.Table) -> pa.Table:
+        ids = np.sort(group.column("doc_id").to_numpy())
+        if len(ids) < 2:
+            return _EMPTY_PAIRS
+        pairs = ray.get(pair_ref)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        a, b = ids[ai], ids[bi]
+        keep = np.fromiter(
+            ((int(x), int(y)) in pairs for x, y in zip(a, b)),
+            dtype=bool,
+            count=len(a),
+        )
         return pa.table(
-            {
-                "a": pa.array(keep_a, pa.int64()),
-                "b": pa.array(keep_b, pa.int64()),
-                "jaccard_r": pa.array(js, pa.float64()),
-            }
+            {"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())}
         )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    inter = (
+        cand_shingles.groupby("sh")
+        .map_groups(bucket_pairs_cand, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["a", "b", "inter_n"]), batch_format="pyarrow"
+        )
+    )
+    return _jaccard_from_inter(inter, sizes, threshold, num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -340,9 +449,7 @@ def simhash_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def fp(batch: pa.Table) -> pa.Table:
-        counts, flat = _tokens(batch)
-        toks = flat.to_pylist()
-        th = np.array([_fnv1a64(t) for t in toks], dtype=np.uint64)
+        counts, th = _token_hashes(batch)
         doc_rep = np.repeat(np.arange(len(counts)), counts)
         # bits matrix: +1/-1 per bit, summed per doc
         sims = np.zeros(len(counts), dtype=np.uint64)
@@ -438,47 +545,139 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95) -> "ray.data.Dataset":
-    """Pairs of vectors with cosine similarity >= threshold.
+def embedding_dup_pairs(
+    sf_dir: str,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    bands: int = 32,
+    rows_per_band: int = 2,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Pairs of vectors with cosine similarity >= threshold, a < b.
 
-    The full (normalized) matrix is broadcast once via ray.put; each
-    batch computes a [batch x all] matmul and keeps pairs above the
-    threshold with a < b.  At corpus scale the broadcast side must be an
-    IVF/LSH partition (engine.similarity) — this brute-force operator is
-    the exactness baseline that variant is tested against.
+    ``method="lsh"`` (default, the scale path): random-hyperplane band
+    buckets — each vector gets ``bands x rows_per_band`` sign bits;
+    per band, vectors agreeing on all ``rows_per_band`` bits land in
+    one bucket (key = band id + bit pattern), normalized vectors ride
+    along, and each bucket exact-verifies its pairs with one small
+    matmul.  Cross-band duplicates collapse with a (a, b) groupby.
+    P[pair in >=1 bucket] = 1-(1-p^r)^b with p = 1-acos(cos)/pi; the
+    defaults (r=2, b=32) give per-pair miss ~1e-7 at cosine 0.4 —
+    equivalence vs brute force at sf0.01 is pytest-pinned.  At corpus
+    scale raise rows_per_band (bucket size ~ n/2^r per band) and tune
+    bands to the target threshold.
+
+    ``method="brute"``: full normalized matrix broadcast once via
+    ray.put; each batch does one [batch x all] matmul.  The exactness
+    oracle the LSH path is tested against.
     """
     import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids_all = t.column("vec_id").to_numpy()
-    mat = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat = mat / norms[:, None]
-    ref = ray.put((ids_all, mat))
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
+    if method == "brute":
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids_all = t.column("vec_id").to_numpy()
+        mat = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        ref = ray.put((ids_all, mat))
+
+        def pairs(batch: pa.Table) -> pa.Table:
+            all_ids, all_mat = ray.get(ref)
+            ids = batch.column("vec_id").to_numpy()
+            m = np.vstack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            m = m / n[:, None]
+            sims = m @ all_mat.T
+            bi, aj = np.nonzero(sims >= threshold)
+            a = ids[bi]
+            b = all_ids[aj]
+            keep = a < b
+            return pa.table(
+                {
+                    "a": pa.array(a[keep], pa.int64()),
+                    "b": pa.array(b[keep], pa.int64()),
+                    "cosine_r": pa.array(round6(sims[bi, aj][keep]), pa.float64()),
+                }
+            )
+
+        return ds.map_batches(pairs, batch_format="pyarrow")
+
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}")
+
+    from .similarity import _planes
+
+    nbits = bands * rows_per_band
+
+    def band_explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy()
-        m = np.vstack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-        n = np.linalg.norm(m, axis=1)
-        n[n == 0] = 1.0
-        m = m / n[:, None]
-        sims = m @ all_mat.T
-        bi, aj = np.nonzero(sims >= threshold)
-        a = ids[bi]
-        b = all_ids[aj]
-        keep = a < b
+        m = np.vstack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        planes = _planes(m.shape[1], nbits)  # deterministic seed
+        bits = (m @ planes) > 0  # [n, bands*r]
+        n = len(ids)
+        keys = np.empty((n, bands), dtype=np.uint64)
+        weights = np.left_shift(1, np.arange(rows_per_band, dtype=np.int64))
+        for bnd in range(bands):
+            patt = bits[:, bnd * rows_per_band : (bnd + 1) * rows_per_band].astype(
+                np.int64
+            ) @ weights
+            keys[:, bnd] = ((bnd << rows_per_band) | patt).astype(np.uint64)
         return pa.table(
             {
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-                "cosine_r": pa.array(round6(sims[bi, aj][keep]), pa.float64()),
+                "bkey": pa.array(keys.ravel(), pa.uint64()),
+                "vec_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "vec": pa.array(
+                    list(np.repeat(m, bands, axis=0)), pa.list_(pa.float64())
+                ),
             }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = group.column("vec")
+        vecs = vecs.combine_chunks() if vecs.num_chunks != 1 else vecs.chunk(0)
+        dim = pc.list_value_length(vecs)[0].as_py() if len(ids) else 0
+        m = vecs.flatten().to_numpy().reshape(len(ids), dim)[order]
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cosine_r": pa.array([], pa.float64()),
+                }
+            )
+        sims = m @ m.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        # ids sorted asc so ids[ai] < ids[bi] whenever ai < bi, except
+        # exact duplicates of the same vec_id (impossible: one row per
+        # (vec, band) and buckets are band-disjoint)
+        return pa.table(
+            {
+                "a": pa.array(ids[ai], pa.int64()),
+                "b": pa.array(ids[bi], pa.int64()),
+                "cosine_r": pa.array(round6(sims[ai, bi]), pa.float64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(band_explode, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(bucket_verify, batch_format="pyarrow")
+    )
+    # a pair can collide in several bands -> dedupe (cosine identical)
+    return pairs.groupby(["a", "b"]).min("cosine_r").map_batches(
+        lambda b: b.rename_columns(["a", "b", "cosine_r"]), batch_format="pyarrow"
+    )

@@ -20,3 +20,45 @@ def round6(x):
 
 def round6_scalar(x: float) -> float:
     return float(round6(x))
+
+
+FNV_OFFSET = 0xCBF29CE484222325
+FNV_PRIME = 0x100000001B3
+
+
+def fnv1a64(s: "str | bytes") -> int:
+    """Scalar FNV-1a 64-bit (reference implementation for the
+    vectorized version below; property-tested equal)."""
+    h = FNV_OFFSET
+    for b in s.encode() if isinstance(s, str) else s:
+        h = ((h ^ b) * FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def fnv1a64_arr(strs) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit over the UTF-8 bytes of each string.
+
+    Bit-identical to ``fnv1a64`` per element.  The per-BYTE loop is
+    replaced by max-string-length masked numpy passes over an (n, L)
+    byte matrix — callers hash only DISTINCT tokens (dictionary-encode
+    first), so n is vocabulary-sized and L is a short word length.
+    """
+    n = len(strs)
+    out = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return out
+    enc = [s.encode() for s in strs]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    if not lens.any():
+        return out
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    buf = np.zeros((n, int(lens.max())), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(len(flat)) - np.repeat(starts, lens)
+    buf[rows, cols] = flat
+    prime = np.uint64(FNV_PRIME)
+    for j in range(buf.shape[1]):
+        mask = lens > j
+        out[mask] = (out[mask] ^ buf[mask, j].astype(np.uint64)) * prime
+    return out

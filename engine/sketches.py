@@ -45,13 +45,11 @@ def _flat_tokens(block: pa.Table) -> pa.Array:
 
 
 def _fnv64(arr: list[str]) -> np.ndarray:
-    out = np.empty(len(arr), dtype=np.uint64)
-    for i, s in enumerate(arr):
-        h = 0xCBF29CE484222325
-        for b in s.encode():
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
-    return out
+    """Vectorized FNV-1a (engine.functions.fnv1a64_arr) — bit-identical
+    to the per-byte scalar loop, so sketch estimates are unchanged."""
+    from .functions import fnv1a64_arr
+
+    return fnv1a64_arr(arr)
 
 
 # ---------------------------------------------------------------------------

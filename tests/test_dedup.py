@@ -109,6 +109,77 @@ def test_simhash_identical_texts_collide(ray_session, sf_dir):
                 assert (ids[i], ids[j]) in pairs
 
 
+def test_fnv1a64_vectorized_equals_scalar():
+    from engine.functions import fnv1a64, fnv1a64_arr
+
+    strs = ["", "a", "the", "zzz_not_a_term", "naïve-ütf8", "x" * 100, "0", " "]
+    got = fnv1a64_arr(strs)
+    for s, h in zip(strs, got):
+        assert int(h) == fnv1a64(s)
+
+
+def test_minhash_affine_is_exact_mod_mersenne():
+    """The split modular multiply must equal big-int (a*x+b) mod p —
+    the uint64-overflow bug this replaces silently broke the banding
+    recall theory (ADVICE r01)."""
+    from engine.dedup import MERSENNE, _affine_mod_mersenne, _minhash_params
+
+    A, B = _minhash_params()
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, MERSENNE, size=200).astype(np.uint64)
+    for j in [0, 1, 17, 127]:
+        got = _affine_mod_mersenne(A[j], B[j], x)
+        for xi, gi in zip(x.tolist(), got.tolist()):
+            assert gi == (int(A[j]) * xi + int(B[j])) % MERSENNE
+
+
+def test_shingle_hashes_match_string_sets(sf_dir):
+    """Vectorized hash shingling induces the same per-doc distinct-set
+    structure (sizes + pairwise intersections) as string shingles."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.dedup import _shingle_hashes
+
+    n = 3
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.slice(0, 60)
+    doc_rep, hashes = _shingle_hashes(t, n)
+    ids = t.column("doc_id").to_numpy()
+    got = {}
+    for d, h in zip(doc_rep, hashes):
+        got.setdefault(int(ids[d]), set()).add(int(h))
+    want = _local_shingles(sf_dir, n)
+    for did, hs in got.items():
+        assert len(hs) == len(want[did])  # distinct counts equal
+    sample = sorted(got)[:20]
+    for i, a in enumerate(sample):
+        for b in sample[i + 1 :]:
+            inter_h = len(got[a] & got[b])
+            inter_s = len(want[a] & want[b])
+            assert inter_h == inter_s
+
+
+def test_embedding_lsh_equals_brute(ray_session, sf_dir):
+    """The default bucketed-LSH path must reproduce the brute-force
+    oracle exactly at sf0.01 (deterministic planes, per-pair miss
+    probability ~1e-7 at the 0.4 threshold)."""
+    from engine import dedup
+
+    thr = 0.4
+    lsh = {
+        (r["a"], r["b"]): r["cosine_r"]
+        for r in dedup.embedding_dup_pairs(sf_dir, threshold=thr).take_all()
+    }
+    brute = {
+        (r["a"], r["b"]): r["cosine_r"]
+        for r in dedup.embedding_dup_pairs(
+            sf_dir, threshold=thr, method="brute"
+        ).take_all()
+    }
+    assert lsh == brute
+
+
 def test_embedding_dup_pairs_vs_numpy(ray_session, sf_dir):
     import pyarrow.parquet as pq
 
