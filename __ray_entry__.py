@@ -38,7 +38,8 @@ def _build_simple_index(sf_dir: str) -> str:
     from engine.corpus import read_corpus_from_documents
 
     tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"graft_idx_simple_{tag}")
+    # v2: segments carry fwd.parquet + sharded global_terms
+    out = os.path.join(tempfile.gettempdir(), f"graft_idx_simple_v2_{tag}")
     if not os.path.exists(os.path.join(out, "collection_stats.json")):
         shutil.rmtree(out, ignore_errors=True)
         build_index(
@@ -336,27 +337,37 @@ def _q_media_decode(sf_dir: str):
     return multimodal.media_pipeline(sf_dir, "decode")
 
 
+def _doc_id_by_path(index_dir: str, path: str) -> int | None:
+    """doc_id lookup via the per-segment docs.parquet (pruned read with
+    a path predicate — no dictionary or postings scan)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.segments import list_segments
+
+    for seg in list_segments(index_dir):
+        t = pq.read_table(
+            os.path.join(seg, "docs.parquet"),
+            columns=["doc_id"],
+            filters=[("path", "=", path)],
+        )
+        if t.num_rows:
+            return int(t.column("doc_id")[0].as_py())
+    return None
+
+
 def _q_more_like_this(sf_dir: str):
-    """Similar-document search for a few fixed source docs (rows-only;
-    determinism + exclusion pytest-verified in test_match_modes)."""
-    from engine.ids import doc_id_of
+    """Similar-document search for a few fixed source docs (forward-
+    index term selection; determinism + exclusion pytest-verified)."""
     from engine.query import IndexReader
 
     out = _build_simple_index(sf_dir)
     rd = IndexReader(out)
     rows = []
     for src in (0, 7, 42):
-        did = doc_id_of(f"testdata/src{src % 10}", f"docs/{src}.txt", "")
-        # corpus mapping uses sha1(text) commits; find the doc by path
-        hits = []
-        for seg_id, _ in enumerate(rd.segment_paths):
-            seg = rd.segment(seg_id)
-            for o, p in enumerate(seg.dpath):
-                if p == f"docs/{src}.txt":
-                    hits = rd.more_like_this(int(seg.doc_ids[o]), k=5)
-                    break
-            if hits:
-                break
+        did = _doc_id_by_path(out, f"docs/{src}.txt")
+        hits = rd.more_like_this(did, k=5) if did is not None else []
         for h in hits:
             rows.append(
                 {

@@ -35,6 +35,7 @@ import os
 import shutil
 import time
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -292,14 +293,7 @@ def finalize_stats(out_dir: str) -> dict:
         )
         if os.path.isdir(gt_dir):
             shutil.rmtree(gt_dir)
-        gt.write_parquet(gt_dir)
-        import pyarrow.parquet as pq
-
-        vocab_size = sum(
-            pq.ParquetFile(os.path.join(gt_dir, f)).metadata.num_rows
-            for f in os.listdir(gt_dir)
-            if f.endswith(".parquet")
-        )
+        vocab_size = _write_global_terms_sharded(gt, out_dir, gt_dir)
     else:
         os.makedirs(gt_dir, exist_ok=True)
 
@@ -314,6 +308,58 @@ def finalize_stats(out_dir: str) -> dict:
     }
     checkpoint.write_collection_stats(out_dir, stats)
     return dict(stats)
+
+
+GT_NUM_SHARDS = 16  # term-hash shards of the global df/cf table
+
+
+def _write_global_terms_sharded(
+    gt: "ray.data.Dataset", out_dir: str, gt_dir: str, num_shards: int = GT_NUM_SHARDS
+) -> int:
+    """Write global_terms PARTITIONED BY fnv1a64(term) % num_shards —
+    one ``shard-NNNN.parquet`` per shard, rows term-sorted (so the
+    bytes are deterministic).  Query actors then load only the shards
+    their query stream touches (engine.query._ShardedDf) instead of the
+    whole vocabulary.  Returns vocab size."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from .functions import fnv1a64_arr
+
+    os.makedirs(gt_dir, exist_ok=True)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        h = fnv1a64_arr(batch.column("term").to_pylist())
+        return batch.append_column(
+            "shard", pa.array((h % np.uint64(num_shards)).astype(np.int32), pa.int32())
+        )
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        shard = int(group.column("shard")[0].as_py())
+        tbl = group.sort_by("term").drop_columns(["shard"])
+        final = os.path.join(gt_dir, f"shard-{shard:04d}.parquet")
+        tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+        pq.write_table(tbl, tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            os.unlink(tmp)
+        return pa.table(
+            {"shard": pa.array([shard], pa.int32()),
+             "rows": pa.array([tbl.num_rows], pa.int64())}
+        )
+
+    written = (
+        gt.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .take_all()
+    )
+    meta = {"num_shards": num_shards, "hash": "fnv1a64"}
+    with open(os.path.join(out_dir, "global_terms_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return int(sum(r["rows"] for r in written))
 
 
 def _nonempty_dict(seg_path: str) -> bool:

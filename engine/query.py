@@ -62,49 +62,104 @@ def analyze_query(analyzer: analysis.Analyzer, text: str) -> list[str]:
     return out
 
 
-class IndexReader:
-    """Read-side state for one index dir: collection stats, global term
-    df (for idf), lazily-opened segments.
+class _ShardedDf:
+    """Global term -> df map, loaded ONE HASH SHARD at a time.
 
-    The global df map is held as a plain dict (term -> df).  At 100 TB
-    scale this map is the vocabulary, which is orders of magnitude
-    smaller than the index but can still be large; the scale path is to
-    shard global_terms by term hash and load only the shard(s) an
-    actor's query stream touches — the layout (a directory of parquet
-    files) already supports that.
+    The build writes ``global_terms/shard-NNNN.parquet`` partitioned by
+    fnv1a64(term) % num_shards (manifest: global_terms_meta.json), so
+    an actor's resident vocabulary is bounded by the shards its query
+    stream actually touches — not the whole vocabulary.  Legacy indexes
+    without the manifest fall back to a single lazily-loaded shard
+    holding every file.
     """
 
     def __init__(self, index_dir: str):
+        import json
+
+        from .functions import fnv1a64
+
+        self._fnv = fnv1a64
+        self._gt_dir = os.path.join(index_dir, "global_terms")
+        meta_path = os.path.join(index_dir, "global_terms_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.num_shards = int(json.load(f)["num_shards"])
+        else:
+            self.num_shards = 1  # legacy layout: everything is shard 0
+        self._shards: dict[int, dict[str, int]] = {}
+
+    def _load(self, shard: int) -> dict[str, int]:
+        out: dict[str, int] = {}
+        if self.num_shards == 1:
+            files = sorted(
+                f for f in os.listdir(self._gt_dir) if f.endswith(".parquet")
+            )
+        else:
+            name = f"shard-{shard:04d}.parquet"
+            files = [name] if os.path.exists(os.path.join(self._gt_dir, name)) else []
+        for f in files:
+            t = pq.read_table(os.path.join(self._gt_dir, f), columns=["term", "df"])
+            out.update(zip(t.column("term").to_pylist(), t.column("df").to_pylist()))
+        return out
+
+    def get(self, term: str, default: int = 0) -> int:
+        shard = self._fnv(term) % self.num_shards if self.num_shards > 1 else 0
+        d = self._shards.get(shard)
+        if d is None:
+            d = self._shards[shard] = self._load(shard)
+        return d.get(term, default)
+
+    @property
+    def loaded_shards(self) -> int:
+        return len(self._shards)
+
+
+class IndexReader:
+    """Read-side state for one index dir: collection stats, sharded
+    global term df (for idf), lazily-opened segments.
+
+    Per-actor memory is bounded independently of index size:
+    - term df: only TOUCHED hash shards of global_terms are resident
+      (_ShardedDf; ~vocab/num_shards rows each);
+    - segments: at most ``max_open_segments`` Segment objects are open
+      at once (LRU eviction — dictionary/doc arrays of evicted segments
+      are dropped; reopening re-reads two small parquet files);
+    - decoded postings: CACHE_POSTINGS_TOTAL budget split across the
+      open-segment cap.
+    """
+
+    def __init__(self, index_dir: str, max_open_segments: int = 64):
         self.index_dir = index_dir
         self.stats = read_collection_stats(index_dir)
         self.analyzer_name = read_build_manifest(index_dir)["analyzer"]
         self.analyzer = analysis.get_analyzer(self.analyzer_name)
         self.num_docs = int(self.stats["num_docs"])
         self.avg_doc_len = float(self.stats["avg_doc_len"]) or 1.0
-        gt_dir = os.path.join(index_dir, "global_terms")
-        self.global_df: dict[str, int] = {}
-        for f in sorted(os.listdir(gt_dir)):
-            if f.endswith(".parquet"):
-                t = pq.read_table(os.path.join(gt_dir, f), columns=["term", "df"])
-                self.global_df.update(
-                    zip(t.column("term").to_pylist(), t.column("df").to_pylist())
-                )
+        self.global_df = _ShardedDf(index_dir)
         self.segment_paths = list_segments(index_dir)
-        self._segments: dict[int, Segment] = {}
-        # decoded-postings cache budget, split across segments so a
-        # many-segment reader cannot exceed ~CACHE_POSTINGS_TOTAL; the
-        # floor keeps each segment's Zipf-head terms resident even with
-        # hundreds of segments (below it the cache thrashes and p99
-        # degrades to cold-decode latency)
+        self._segments: dict[int, Segment] = {}  # insertion order = LRU
+        self._max_open_segments = max(1, max_open_segments)
+        # decoded-postings cache budget, split across the OPEN-segment
+        # bound (not total segment count); the floor keeps each open
+        # segment's Zipf-head terms resident (below it the cache
+        # thrashes and p99 degrades to cold-decode latency)
         self._seg_cache_max = max(
-            262_144, CACHE_POSTINGS_TOTAL // max(1, len(self.segment_paths))
+            262_144,
+            CACHE_POSTINGS_TOTAL
+            // max(1, min(len(self.segment_paths), self._max_open_segments)),
         )
 
     def segment(self, seg_id: int) -> Segment:
         seg = self._segments.get(seg_id)
-        if seg is None:
-            seg = self._segments[seg_id] = Segment(self.segment_paths[seg_id])
-            seg._dec_cache_max = self._seg_cache_max
+        if seg is not None:
+            # move to MRU position
+            del self._segments[seg_id]
+            self._segments[seg_id] = seg
+            return seg
+        while len(self._segments) >= self._max_open_segments:
+            self._segments.pop(next(iter(self._segments)))
+        seg = self._segments[seg_id] = Segment(self.segment_paths[seg_id])
+        seg._dec_cache_max = self._seg_cache_max
         return seg
 
     def qterms(self, text: str) -> list[tuple[str, float]]:
@@ -171,22 +226,30 @@ class IndexReader:
         """Similar documents: BM25 with the source doc's top terms.
 
         Query terms = the doc's ``max_terms`` highest tf*idf terms
-        (rarest-first tie-break, then term asc — deterministic).  The
-        source doc itself naturally ranks first and is excluded.
+        (rarest-first tie-break, then term asc — deterministic), read
+        from the segment FORWARD INDEX (fwd.parquet: one row-group
+        point lookup) — O(|doc|), not O(|vocab|).  Legacy segments
+        without fwd.parquet fall back to a vocabulary scan.  The source
+        doc itself naturally ranks first and is excluded.
         """
         part = doc_id % len(self.segment_paths)
         seg = self.segment(part)
         o = int(np.searchsorted(seg.doc_ids, doc_id))
         if o >= seg.num_docs or int(seg.doc_ids[o]) != doc_id:
             raise KeyError(f"doc_id {doc_id} not in index")
+        fwd = seg.fwd_terms(doc_id)
         cand = []
-        for term, row in seg.term_idx.items():
-            ords, tfs = seg.decode_idx_cached(row)
-            j = int(np.searchsorted(ords, o))
-            if j < len(ords) and int(ords[j]) == o:
+        if fwd is not None:
+            for term, tf in zip(fwd[0], fwd[1]):
                 df = self.global_df.get(term, 1)
-                w = float(tfs[j]) * bm25.idf(df, self.num_docs)
-                cand.append((-w, term))
+                cand.append((-float(tf) * bm25.idf(df, self.num_docs), term))
+        else:  # legacy segment: O(|vocab|) postings scan
+            for term, row in seg.term_idx.items():
+                ords, tfs = seg.decode_idx_cached(row)
+                j = int(np.searchsorted(ords, o))
+                if j < len(ords) and int(ords[j]) == o:
+                    df = self.global_df.get(term, 1)
+                    cand.append((-float(tfs[j]) * bm25.idf(df, self.num_docs), term))
         cand.sort()
         # score with the term list DIRECTLY (no analyzer round-trip —
         # index terms are already stemmed; re-analyzing could re-stem)

@@ -22,6 +22,10 @@ architecture note).  Layout under ``<out>/segments/seg-{part:05d}/``:
       BM25 scoring.
 - ``dict.parquet``   — per term: local df/cf/max_tf + byte extents of
   its three stream slices (schema engine.schema.SEGMENT_DICT).
+- ``fwd.parquet``    — forward index: per doc (doc_id, terms, tfs),
+  rows in doc_id order, SMALL row groups so a point lookup reads one
+  row group (more-like-this term selection without scanning the
+  segment vocabulary).
 - ``blockmax.parquet`` — per term: per-block last ordinal (skip
   pointer), max tf (block-max WAND bound), block byte offsets.
 - ``manifest.json``  — lineage + metrics (written LAST = commit marker;
@@ -246,6 +250,7 @@ def build_segment(group: pa.Table, out_dir: str, part: int, analyzer: str) -> di
     docs_table = docs.select(
         ["doc_id", "doc_len", "repo", "path", "commit", "lang", "content_sha256"]
     )
+    fwd_table = docs.select(["doc_id", "terms", "tfs"])
 
     # ---- atomic write: tmp dir -> rename ----
     final = seg_dir(out_dir, part)
@@ -258,6 +263,9 @@ def build_segment(group: pa.Table, out_dir: str, part: int, analyzer: str) -> di
     pq.write_table(dict_table, os.path.join(tmp, "dict.parquet"))
     pq.write_table(blockmax_table, os.path.join(tmp, "blockmax.parquet"))
     pq.write_table(docs_table, os.path.join(tmp, "docs.parquet"))
+    # small row groups: a doc_id point lookup decodes one row group via
+    # the parquet min/max stats, not the whole partition
+    pq.write_table(fwd_table, os.path.join(tmp, "fwd.parquet"), row_group_size=1024)
 
     sha_roll = hashlib.sha256()
     for s in docs_table.column("content_sha256").to_pylist():
@@ -349,6 +357,44 @@ class Segment:
         self._dec_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._dec_cached_postings = 0
         self._dec_cache_max = 4_000_000  # postings (~64 MB at 16 B each)
+        # forward-index point-lookup state (lazy; one row group cached)
+        self._fwd_pf: pq.ParquetFile | None = None
+        self._fwd_rg_max: np.ndarray | None = None
+        self._fwd_rg_cache: tuple[int, pa.Table] | None = None
+
+    # -- forward index (more-like-this term selection) --
+
+    def fwd_terms(self, doc_id: int) -> tuple[list[str], np.ndarray] | None:
+        """The doc's (terms, tfs) from fwd.parquet, reading ONE row
+        group (located by the parquet doc_id min/max stats — rows are in
+        doc_id order).  None if the doc is absent or the segment predates
+        the forward index."""
+        if self._fwd_pf is None:
+            fp = os.path.join(self.path, "fwd.parquet")
+            if not os.path.exists(fp):
+                return None
+            self._fwd_pf = pq.ParquetFile(fp)
+            md = self._fwd_pf.metadata
+            self._fwd_rg_max = np.array(
+                [md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)],
+                dtype=np.int64,
+            )
+        assert self._fwd_rg_max is not None
+        if len(self._fwd_rg_max) == 0:
+            return None
+        rg = int(np.searchsorted(self._fwd_rg_max, doc_id))
+        if rg >= len(self._fwd_rg_max):
+            return None
+        if self._fwd_rg_cache is None or self._fwd_rg_cache[0] != rg:
+            self._fwd_rg_cache = (rg, self._fwd_pf.read_row_group(rg))
+        t = self._fwd_rg_cache[1]
+        ids = t.column("doc_id").to_numpy()
+        o = int(np.searchsorted(ids, doc_id))
+        if o >= len(ids) or int(ids[o]) != doc_id:
+            return None
+        terms = t.column("terms")[o].as_py()
+        tfs = np.asarray(t.column("tfs")[o].as_py(), dtype=np.int64)
+        return terms, tfs
 
     # -- full-list decode (exhaustive scoring / tests) --
 

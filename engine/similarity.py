@@ -7,12 +7,17 @@ against it, keeping per-batch top-k partials that a small
 groupby-merge reduces to global top-k.  Exact, and the yardstick the
 approximate variant is tested against (tests/test_similarity.py).
 
-Scale path: random-hyperplane LSH bucketing — each vector maps to a
-``nbits``-bit signature; queries probe their own bucket plus all
-buckets within Hamming distance ``probe_hamming``.  The bucket id is a
-groupby key (hash-uniform for random planes), so candidate generation
-is a bucket-colocated exchange instead of an all-pairs matmul; recall
-is tuned by (nbits, probe_hamming).
+Scale path: random-hyperplane LSH signature PRUNING — each vector maps
+to a ``nbits``-bit signature; within each batch, a query scores only
+the vectors whose signature is within Hamming distance
+``probe_hamming`` of its own, so the per-batch work drops from a full
+matmul to the pruned candidate set while the data still streams
+through in ONE pass (no extra exchange; recall tuned by nbits /
+probe_hamming).  The bucket-COLOCATED variant of the same family —
+groupby on band-bucket keys with in-bucket exact verify — is
+implemented in engine.dedup.embedding_dup_pairs, which is the right
+shape when the query set is the corpus itself (all-pairs near-dup)
+rather than a small broadcast query matrix.
 
 All operators read only (vec_id, embedding) columns (pruned at the
 read), compute in float64 for cross-engine determinism, and round
@@ -137,12 +142,12 @@ def knn_lsh(
     nbits: int = 8,
     probe_hamming: int = 2,
 ) -> "ray.data.Dataset":
-    """Approximate cosine top-k via random-hyperplane LSH buckets.
-
-    Vectors land in bucket = sign-bit signature; each query is scored
-    only against vectors whose bucket is within ``probe_hamming`` bits
-    of its own.  Output schema matches knn_bruteforce; recall vs the
-    exact operator is property-tested, not guaranteed 1.0.
+    """Approximate cosine top-k via random-hyperplane LSH signature
+    pruning: one streaming pass, and within each batch a query is
+    scored only against vectors whose sign-bit signature is within
+    ``probe_hamming`` bits of its own (the matmul shrinks to the pruned
+    candidate set).  Output schema matches knn_bruteforce; recall vs
+    the exact operator is property-tested, not guaranteed 1.0.
     """
     q_ids, q_mat = _load_queries(sf_dir, n_queries)
     ref = ray.put((q_ids, q_mat))
