@@ -163,18 +163,35 @@ def _q_bm25_and_nostem(sf_dir: str):
     )
 
 
+_PHRASE_QUERIES = [
+    {"query_id": 0, "text": "the data", "k": 10},
+    {"query_id": 1, "text": "a model is", "k": 10},
+    {"query_id": 2, "text": "zzz missing phrase", "k": 10},
+]
+
+
 def _q_bm25_phrase_nostem(sf_dir: str):
-    """Exact-phrase BM25 (positional index) — rows-only driver check;
-    rank-identity vs refimpl is pytest-verified (test_match_modes)."""
+    """Exact-phrase BM25 (positional index), simple analyzer — DuckDB
+    replicates the contiguity check with position self-joins; rank
+    identity vs refimpl is additionally pytest-verified."""
     from engine.query import run_queries
 
     out = _build_simple_index(sf_dir)
-    phrases = [
-        {"query_id": 0, "text": "the data", "k": 10},
-        {"query_id": 1, "text": "a model is", "k": 10},
-        {"query_id": 2, "text": "zzz missing phrase", "k": 10},
-    ]
-    return run_queries(out, phrases, match="phrase", concurrency=(1, 4))
+    res = run_queries(out, _PHRASE_QUERIES, match="phrase", concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
 
 
 def _q_verify_invariant(sf_dir: str):
@@ -539,6 +556,136 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _phrase_sql() -> str:
+    """Exact-phrase BM25 oracle: contiguity via position self-joins over
+    the nonempty-token ordinals (same ordinals as the engine's simple
+    analyzer), scoring = the standard BM25 CTE restricted to phrase-
+    matched docs (which necessarily contain every query term, so the
+    disjunctive sum equals the engine's full-query sum)."""
+    vals, match_ctes, match_union = [], [], []
+    for q in _PHRASE_QUERIES:
+        toks = [t.lower() for t in q["text"].split(" ") if t]
+        seen: list[str] = []
+        for t in toks:
+            if t not in seen:
+                seen.append(t)
+        for t in seen:
+            vals.append(f"({q['query_id']}, '{t}')")
+        joins = " ".join(
+            f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.i = p0.i + {i} AND p{i}.tk = '{t}'"
+            for i, t in enumerate(toks[1:], 1)
+        )
+        match_ctes.append(
+            f"m{q['query_id']} AS (SELECT DISTINCT p0.doc_id FROM tokpos p0 "
+            f"{joins} WHERE p0.tk = '{toks[0]}')"
+        )
+        match_union.append(
+            f"SELECT {q['query_id']} AS query_id, doc_id FROM m{q['query_id']}"
+        )
+    values = ", ".join(vals)
+    ctes = ",\n".join(match_ctes)
+    union = " UNION ALL ".join(match_union)
+    return f"""
+WITH tok2 AS ({_TOK2}),
+tokw AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tk FROM tokw
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+{ctes},
+matched AS ({union}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON q.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score DESC, sc.doc_id) AS rank
+  FROM scores sc JOIN matched m
+    ON sc.query_id = m.query_id AND sc.doc_id = m.doc_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(round(score, 4) AS DOUBLE) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _more_like_this_sql(srcs=(0, 7, 42), max_terms: int = 10, k: int = 5) -> str:
+    """More-like-this oracle: per source doc, the ``max_terms`` highest
+    tf*idf terms ((w desc, term asc) — the engine's selection order)
+    form a disjunctive BM25 query; the source doc is excluded from the
+    result set but counts toward every collection statistic."""
+    values = ", ".join(f"({s})" for s in srcs)
+    return f"""
+WITH tok2 AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+src(s) AS (VALUES {values}),
+selw AS (
+  SELECT src.s, tf.term,
+         tf.tf * ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) AS w
+  FROM src
+  JOIN tf ON tf.doc_id = src.s
+  JOIN dft ON tf.term = dft.term
+  CROSS JOIN stats st
+),
+sel AS (
+  SELECT s, term FROM (
+    SELECT s, term, row_number() OVER (PARTITION BY s ORDER BY w DESC, term) AS rn
+    FROM selw
+  ) WHERE rn <= {max_terms}
+),
+scores AS (
+  SELECT sel.s, tf.doc_id,
+         sum(
+           ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM sel
+  JOIN tf ON sel.term = tf.term
+  JOIN dft ON sel.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats st
+  WHERE tf.doc_id <> sel.s
+  GROUP BY sel.s, tf.doc_id
+),
+ranked AS (
+  SELECT s, doc_id, score,
+         row_number() OVER (PARTITION BY s ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT CAST(s AS BIGINT) AS src_doc, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(round(score, 4) AS DOUBLE) AS score_r
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_lengths": (
@@ -564,6 +711,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_nostem": _bm25_sql(),
         "bm25_and_nostem": _bm25_sql(conjunctive=True),
+        "bm25_phrase_nostem": _phrase_sql(),
+        "more_like_this": _more_like_this_sql(),
         "groupby_lineitem": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
             "CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
