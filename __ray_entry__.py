@@ -686,8 +686,51 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _language_id_sql() -> str:
+    """Stopword-profile argmax, replicated from the engine's profile
+    table (imported so the two can't drift): per (doc, lang) hits =
+    token-multiplicity matches against the profile, best by
+    (hits desc, lang asc), score = hits / tokens rounded to 6 dp."""
+    from engine.textanalysis import _LANG_PROFILES
+
+    vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_LANG_PROFILES)
+        for w in sorted(_LANG_PROFILES[lang])
+    )
+    return f"""
+WITH tok2 AS ({_TOK2}),
+prof(lang, w) AS (VALUES {vals}),
+ntok AS (
+  SELECT d.doc_id, coalesce(t.c, 0) AS c FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS c FROM tok2 GROUP BY doc_id) t
+    ON d.doc_id = t.doc_id
+),
+hits AS (
+  SELECT l.lang, d.doc_id, coalesce(h.h, 0) AS h
+  FROM (SELECT DISTINCT lang FROM prof) l
+  CROSS JOIN documents d
+  LEFT JOIN (
+    SELECT t.doc_id, p.lang, count(*) AS h
+    FROM tok2 t JOIN prof p ON t.term = p.w
+    GROUP BY t.doc_id, p.lang
+  ) h ON h.doc_id = d.doc_id AND h.lang = l.lang
+),
+best AS (
+  SELECT doc_id, lang, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) AS rn
+  FROM hits
+)
+SELECT b.doc_id, b.lang AS pred_lang,
+       CAST(CASE WHEN n.c = 0 THEN 0.0
+            ELSE round(b.h * 1.0 / n.c, 6) END AS DOUBLE) AS score_r
+FROM best b JOIN ntok n ON b.doc_id = n.doc_id
+WHERE b.rn = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "doc_lengths": (
             f"SELECT d.doc_id, coalesce(t.c, 0) AS doc_len FROM documents d "
             f"LEFT JOIN (SELECT doc_id, count(*) AS c FROM ({_TOK2}) GROUP BY doc_id) t "
@@ -810,6 +853,36 @@ SELECT doc_id,
 FROM t
 """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "language_id": _language_id_sql(),
+        "media_decode": (
+            # the deterministic 'fake' payloads are synthesized from
+            # doc_id arithmetic (engine.multimodal.synth_media_from_
+            # documents), so the decode stage's output is closed-form
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 5 = 0 THEN 'video' ELSE 'image' END AS kind, "
+            "CAST(8 + doc_id % 9 AS INTEGER) AS width, "
+            "CAST(8 + doc_id % 7 AS INTEGER) AS height, "
+            "CAST(CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 1 END AS INTEGER) AS n_frames "
+            "FROM documents"
+        ),
+        "verify_invariant": (
+            # the invariant oracle: every corpus doc present and
+            # sha-matched — the driver comparison fails iff the engine
+            # reports anything else
+            "SELECT CAST(count(*) AS BIGINT) AS num_corpus_docs, "
+            "CAST(count(*) AS BIGINT) AS num_index_docs, "
+            "CAST(count(*) AS BIGINT) AS matched, "
+            "CAST(0 AS BIGINT) AS mismatched, "
+            "CAST(0 AS BIGINT) AS missing_in_index, "
+            "CAST(1 AS BIGINT) AS ok FROM documents"
+        ),
+        "cms_heavy_hitters": (
+            # width 2048 >> vocab at sf0.01: no CMS bucket collisions,
+            # so estimates are exact and the heavy hitters are the true
+            # top-k by cf (tie term asc — the sketch's own tie-break)
+            f"SELECT term, count(*) AS est_count FROM ({_TOK2}) "
+            "GROUP BY term ORDER BY est_count DESC, term LIMIT 10"
+        ),
         "bottomk_sample": (
             "SELECT doc_id FROM documents "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 20"
@@ -876,9 +949,16 @@ SELECT user_id, CAST(min(t) AS BIGINT) AS session_start_us,
        count(*) AS n_events, CAST(max(t) - min(t) AS BIGINT) AS duration_us
 FROM s GROUP BY user_id, sid
 """,
-        # minhash_lsh_pairs, simhash_fingerprints, knn_lsh, language_id,
-        # media_decode: approximate / heuristic / binary-codec operators —
-        # not SQL-expressible; rows-only driver check + pytest oracles
-        # (tests/test_dedup.py, test_similarity.py, test_textanalysis.py,
-        # test_multimodal.py).
+        # simhash_fingerprints / simhash_dup_pairs (64-bit FNV bit
+        # arithmetic) and hll_distinct_terms (register estimate): not
+        # SQL-expressible — rows-only driver check + pytest oracles
+        # (tests/test_dedup.py, tests/test_sketches.py).
     }
+    # minhash_lsh_pairs exact-verifies its candidates, and the banding
+    # recall is exactly 1.0 at sf0.01 (deterministic hashes; soundness +
+    # recall pytest-pinned), so its output equals the exact operator's
+    # and shares its oracle.  knn_lsh stays rows-only: its signature
+    # pruning is approximate BY DESIGN at the tuned (nbits, probe)
+    # point — recall is property-tested, not 1.0.
+    out["minhash_lsh_pairs"] = out["ngram_jaccard_pairs"]
+    return out

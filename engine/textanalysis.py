@@ -109,14 +109,15 @@ def language_id(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, pred_lang, score_r): stopword-profile language guess.
 
     score = hits(best profile) / tokens; ties broken by language code
-    order (deterministic).  Heuristic — rows-only driver check; the
-    plumbing and determinism are pytest-verified."""
+    order (deterministic).  Tokenization is the repo-wide oracle
+    convention — lower + split on single spaces, empties dropped — so
+    the heuristic is DuckDB-replicable (profile table join + argmax)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = _texts(batch)
         preds, scores = [], []
         for s in texts:
-            toks = [t for t in s.lower().split() if t]
+            toks = [t for t in s.lower().split(" ") if t]
             best_lang, best_hits = _LANG_ORDER[0], -1
             for lang in _LANG_ORDER:
                 prof = _LANG_PROFILES[lang]
