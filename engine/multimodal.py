@@ -84,25 +84,94 @@ def synth_media_from_documents(
 
 
 class Codec:
-    """Per-format decoder registry (loaded once per actor).
-
-    Real formats raise NotImplementedError until the codec libs exist
-    in the runtime — the *stage* contract (schema in/out, actor state,
-    batch sizing) is what this module locks down.
+    """Per-format decoder registry, CAPABILITY-GATED at construction
+    (= once per actor, in the stage's __init__): real image formats
+    register iff PIL imports, real video formats iff cv2 imports; the
+    deterministic ``fake`` codec is always available.  Formats without
+    a registered decoder raise NotImplementedError — the *stage*
+    contract (schema in/out, actor state, batch sizing) holds either
+    way and is what this module locks down.
     """
+
+    PIL_FORMATS = ("png", "jpeg", "jpg", "bmp", "gif", "webp")
+    CV2_FORMATS = ("mp4", "avi", "mkv", "webm")
+
+    def __init__(self) -> None:
+        self._decoders = {"fake": self._decode_fake}
+        try:  # capability gate: real image decoding via PIL
+            from PIL import Image  # type: ignore
+
+            self._pil_image = Image
+            for fmt in self.PIL_FORMATS:
+                self._decoders[fmt] = self._decode_pil
+        except ImportError:
+            self._pil_image = None
+        try:  # capability gate: real video decoding via OpenCV
+            import cv2  # type: ignore
+
+            self._cv2 = cv2
+            for fmt in self.CV2_FORMATS:
+                self._decoders[fmt] = self._decode_cv2
+        except ImportError:
+            self._cv2 = None
+
+    @property
+    def formats(self) -> list[str]:
+        return sorted(self._decoders)
 
     def decode(self, fmt: str, payload: bytes) -> tuple[int, int, int, np.ndarray]:
         """-> (width, height, n_frames, frames u8 array [n, h, w])."""
-        if fmt != "fake":
+        dec = self._decoders.get(fmt)
+        if dec is None:
             raise NotImplementedError(
-                f"codec {fmt!r} requires an image/video library not present "
-                "in this runtime; only the deterministic 'fake' codec is wired"
+                f"codec {fmt!r}: no decoder library available in this runtime "
+                f"(registered formats: {self.formats}); install PIL for image "
+                "formats or cv2 for video formats"
             )
+        return dec(payload)
+
+    def _decode_fake(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
         if payload[:4] != b"FAKE":
             raise ValueError("bad magic")
         w, h, n = struct.unpack("<III", payload[4:16])
         frames = np.frombuffer(payload, dtype=np.uint8, count=w * h * n, offset=16)
         return w, h, n, frames.reshape(n, h, w)
+
+    def _decode_pil(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        import io
+
+        img = self._pil_image.open(io.BytesIO(payload)).convert("L")
+        a = np.asarray(img, dtype=np.uint8)
+        h, w = a.shape
+        return w, h, 1, a.reshape(1, h, w)
+
+    def _decode_cv2(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        import os
+        import tempfile
+
+        # cv2.VideoCapture reads from a path; spill the payload to a
+        # worker-local temp file (payloads are batch-sized, small)
+        fd, path = tempfile.mkstemp(suffix=".bin")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+            cap = self._cv2.VideoCapture(path)
+            frames = []
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                frames.append(
+                    self._cv2.cvtColor(frame, self._cv2.COLOR_BGR2GRAY).astype(np.uint8)
+                )
+            cap.release()
+        finally:
+            os.unlink(path)
+        if not frames:
+            raise ValueError("no decodable frames in payload")
+        arr = np.stack(frames)
+        n, h, w = arr.shape
+        return w, h, n, arr
 
 
 class DecodeMedia:

@@ -54,4 +54,46 @@ def test_frame_sampling(ray_session, sf_dir):
 
 def test_unknown_codec_raises():
     with pytest.raises(NotImplementedError):
-        multimodal.Codec().decode("png", b"FAKE" + b"\0" * 16)
+        multimodal.Codec().decode("tga", b"FAKE" + b"\0" * 16)
+
+
+def test_codec_capability_gating(monkeypatch):
+    """Real formats register iff their library imports: with a stubbed
+    PIL in sys.modules the png decoder appears and decodes through it;
+    without one, png raises NotImplementedError naming the registry."""
+    import sys
+    import types
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil:
+        c = multimodal.Codec()
+        assert "png" not in c.formats and "fake" in c.formats
+        with pytest.raises(NotImplementedError, match="png"):
+            c.decode("png", b"\x89PNG")
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return np.arange(12, dtype=np.uint8).reshape(3, 4)
+
+    fake_image_mod = types.SimpleNamespace(open=lambda buf: _FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    c = multimodal.Codec()
+    assert "png" in c.formats and "jpeg" in c.formats
+    w, h, n, frames = c.decode("png", b"anything")
+    assert (w, h, n) == (4, 3, 1)
+    assert frames.shape == (1, 3, 4)
+    # video formats still ungated (no cv2 stub)
+    if "mp4" not in c.formats:
+        with pytest.raises(NotImplementedError):
+            c.decode("mp4", b"x")
