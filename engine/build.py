@@ -317,10 +317,16 @@ def _write_global_terms_sharded(
     gt: "ray.data.Dataset", out_dir: str, gt_dir: str, num_shards: int = GT_NUM_SHARDS
 ) -> int:
     """Write global_terms PARTITIONED BY fnv1a64(term) % num_shards —
-    one ``shard-NNNN.parquet`` per shard, rows term-sorted (so the
-    bytes are deterministic).  Query actors then load only the shards
-    their query stream touches (engine.query._ShardedDf) instead of the
-    whole vocabulary.  Returns vocab size."""
+    files named ``shard-NNNN-<digest>.parquet``; each output block of
+    the term aggregate splits its rows by shard and appends one
+    content-addressed file per shard touched, so no SECOND all-to-all
+    runs (a groupby("shard") exchange cost seconds of fixed shuffle
+    overhead on vocabulary-sized data).  A shard is the UNION of its
+    files; terms are disjoint across blocks (post-groupby), digests
+    make retries idempotent.  Query actors load only the shards their
+    query stream touches (engine.query._ShardedDf).  Returns vocab
+    size."""
+    import hashlib
     import json
 
     import pyarrow.parquet as pq
@@ -329,33 +335,30 @@ def _write_global_terms_sharded(
 
     os.makedirs(gt_dir, exist_ok=True)
 
-    def add_shard(batch: pa.Table) -> pa.Table:
+    def write_shard_files(batch: pa.Table) -> pa.Table:
         h = fnv1a64_arr(batch.column("term").to_pylist())
-        return batch.append_column(
-            "shard", pa.array((h % np.uint64(num_shards)).astype(np.int32), pa.int32())
-        )
-
-    def write_shard(group: pa.Table) -> pa.Table:
-        shard = int(group.column("shard")[0].as_py())
-        tbl = group.sort_by("term").drop_columns(["shard"])
-        final = os.path.join(gt_dir, f"shard-{shard:04d}.parquet")
-        tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
-        pq.write_table(tbl, tmp)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            os.unlink(tmp)
+        shards = (h % np.uint64(num_shards)).astype(np.int64)
+        out_s, out_n = [], []
+        for s in np.unique(shards):
+            tbl = batch.filter(pa.array(shards == s)).sort_by("term")
+            digest = hashlib.sha256(
+                "\0".join(tbl.column("term").to_pylist()).encode()
+            ).hexdigest()[:16]
+            final = os.path.join(gt_dir, f"shard-{int(s):04d}-{digest}.parquet")
+            if not os.path.exists(final):  # idempotent under retry
+                tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+                pq.write_table(tbl, tmp)
+                try:
+                    os.rename(tmp, final)
+                except OSError:
+                    os.unlink(tmp)
+            out_s.append(int(s))
+            out_n.append(tbl.num_rows)
         return pa.table(
-            {"shard": pa.array([shard], pa.int32()),
-             "rows": pa.array([tbl.num_rows], pa.int64())}
+            {"shard": pa.array(out_s, pa.int32()), "rows": pa.array(out_n, pa.int64())}
         )
 
-    written = (
-        gt.map_batches(add_shard, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(write_shard, batch_format="pyarrow")
-        .take_all()
-    )
+    written = gt.map_batches(write_shard_files, batch_format="pyarrow").take_all()
     meta = {"num_shards": num_shards, "hash": "fnv1a64"}
     with open(os.path.join(out_dir, "global_terms_meta.json"), "w") as f:
         json.dump(meta, f)

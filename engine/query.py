@@ -94,9 +94,12 @@ class _ShardedDf:
             files = sorted(
                 f for f in os.listdir(self._gt_dir) if f.endswith(".parquet")
             )
-        else:
-            name = f"shard-{shard:04d}.parquet"
-            files = [name] if os.path.exists(os.path.join(self._gt_dir, name)) else []
+        else:  # a shard is the union of its shard-NNNN-* files
+            prefix = f"shard-{shard:04d}-"
+            files = sorted(
+                f for f in os.listdir(self._gt_dir)
+                if f.startswith(prefix) and f.endswith(".parquet")
+            )
         for f in files:
             t = pq.read_table(os.path.join(self._gt_dir, f), columns=["term", "df"])
             out.update(zip(t.column("term").to_pylist(), t.column("df").to_pylist()))

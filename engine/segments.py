@@ -22,10 +22,12 @@ architecture note).  Layout under ``<out>/segments/seg-{part:05d}/``:
       BM25 scoring.
 - ``dict.parquet``   — per term: local df/cf/max_tf + byte extents of
   its three stream slices (schema engine.schema.SEGMENT_DICT).
-- ``fwd.parquet``    — forward index: per doc (doc_id, terms, tfs),
-  rows in doc_id order, SMALL row groups so a point lookup reads one
-  row group (more-like-this term selection without scanning the
-  segment vocabulary).
+- ``fwd.parquet``    — forward index: per doc (doc_id, term_rows, tfs)
+  where term_rows are int32 DICTIONARY ROW indices (the term strings
+  live once in dict.parquet — no string repetition), rows in doc_id
+  order, SMALL row groups so a point lookup reads one row group
+  (more-like-this term selection without scanning the segment
+  vocabulary).
 - ``blockmax.parquet`` — per term: per-block last ordinal (skip
   pointer), max tf (block-max WAND bound), block byte offsets.
 - ``manifest.json``  — lineage + metrics (written LAST = commit marker;
@@ -144,6 +146,7 @@ def build_segment(group: pa.Table, out_dir: str, part: int, analyzer: str) -> di
     else:
         perm = np.zeros(0, dtype=np.int64)
         p_code = p_ord = p_tf = np.zeros(0, dtype=np.int64)
+        sorted_codes = np.zeros(0, dtype=np.int64)
         vocab = np.zeros(0, dtype=object)
     n_terms = vocab.size
 
@@ -250,7 +253,21 @@ def build_segment(group: pa.Table, out_dir: str, part: int, analyzer: str) -> di
     docs_table = docs.select(
         ["doc_id", "doc_len", "repo", "path", "commit", "lang", "content_sha256"]
     )
-    fwd_table = docs.select(["doc_id", "terms", "tfs"])
+    # forward index: doc-major dictionary-row refs (sorted_codes is the
+    # doc-major flat term-rank stream; ranks are in term-string order,
+    # so per-doc lists come out term-sorted)
+    fwd_off32 = pa.array(np.concatenate(([0], np.cumsum(counts))), pa.int32())
+    fwd_table = pa.table(
+        {
+            "doc_id": docs.column("doc_id"),
+            "term_rows": pa.ListArray.from_arrays(
+                fwd_off32, pa.array(sorted_codes.astype(np.int32), pa.int32())
+            ),
+            "tfs": pa.ListArray.from_arrays(
+                fwd_off32, pa.array(flat_tfs.astype(np.int32), pa.int32())
+            ),
+        }
+    )
 
     # ---- atomic write: tmp dir -> rename ----
     final = seg_dir(out_dir, part)
@@ -315,9 +332,8 @@ class Segment:
     def __init__(self, path: str):
         self.path = path
         d = pq.read_table(os.path.join(path, "dict.parquet"))
-        self.term_idx: dict[str, int] = {
-            t: i for i, t in enumerate(d.column("term").to_pylist())
-        }
+        self.terms: list[str] = d.column("term").to_pylist()  # row order == term order
+        self.term_idx: dict[str, int] = {t: i for i, t in enumerate(self.terms)}
         self.df = d.column("df").to_numpy()
         self.cf = d.column("cf").to_numpy()
         self.max_tf = d.column("max_tf").to_numpy()
@@ -367,8 +383,9 @@ class Segment:
     def fwd_terms(self, doc_id: int) -> tuple[list[str], np.ndarray] | None:
         """The doc's (terms, tfs) from fwd.parquet, reading ONE row
         group (located by the parquet doc_id min/max stats — rows are in
-        doc_id order).  None if the doc is absent or the segment predates
-        the forward index."""
+        doc_id order); term_rows dictionary refs resolve through the
+        already-loaded segment vocabulary.  None if the doc is absent or
+        the segment predates the forward index."""
         if self._fwd_pf is None:
             fp = os.path.join(self.path, "fwd.parquet")
             if not os.path.exists(fp):
@@ -392,7 +409,8 @@ class Segment:
         o = int(np.searchsorted(ids, doc_id))
         if o >= len(ids) or int(ids[o]) != doc_id:
             return None
-        terms = t.column("terms")[o].as_py()
+        rows = t.column("term_rows")[o].as_py()
+        terms = [self.terms[r] for r in rows]
         tfs = np.asarray(t.column("tfs")[o].as_py(), dtype=np.int64)
         return terms, tfs
 
