@@ -165,6 +165,45 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int, keep_index: bool = False)
     }
 
 
+def run_dedup_bench(sf_dir: str, num_cpus: int) -> dict:
+    """Wall time of the dedup/near-dup family over sf_dir documents +
+    embeddings (each operator consumed with count() — streams, no
+    driver materialization)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from engine import dedup
+
+    ops = {
+        "exact_dedup": lambda: dedup.exact_dedup(sf_dir),
+        "ngram_jaccard_pairs": lambda: dedup.ngram_jaccard_pairs(sf_dir),
+        "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(sf_dir),
+        "simhash_dup_pairs": lambda: dedup.simhash_dup_pairs(sf_dir),
+        "embedding_dup_pairs": lambda: dedup.embedding_dup_pairs(sf_dir, threshold=0.4),
+    }
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in ops.items():
+        fn().count()  # warm-up (worker imports, page cache)
+        t0 = time.perf_counter()
+        rows[name] = fn().count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return {
+        "metric": "dedup family wall time (documents/embeddings tables)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": _sf_tag(sf_dir),
+        "num_cpus": num_cpus,
+    }
+
+
 def run_scaling(sf_dir: str, repeat: int, cpus_lo: int, cpus_hi: int) -> dict:
     """Same job, two fresh processes at cpus_lo and cpus_hi."""
     runs = {}
@@ -218,6 +257,8 @@ def main() -> None:
                          "(default: 100 -> 500k docs; 600 -> 3M for --scaling)")
     ap.add_argument("--scaling", action="store_true",
                     help="run at two CPU counts in fresh processes, report efficiency")
+    ap.add_argument("--dedup", action="store_true",
+                    help="benchmark the dedup/near-dup operator family instead")
     ap.add_argument("--cpus-lo", type=int, default=2)
     ap.add_argument("--cpus-hi", type=int, default=8)
     args = ap.parse_args()
@@ -226,6 +267,12 @@ def main() -> None:
         args.repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "600" if args.scaling else "100"))
     if args.scaling:
         result = run_scaling(args.sf_dir, args.repeat, args.cpus_lo, args.cpus_hi)
+    elif args.dedup:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        result = run_dedup_bench(args.sf_dir, num_cpus)
+        import ray
+
+        ray.shutdown()
     else:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         result = run_bench(args.sf_dir, num_cpus, args.repeat)

@@ -35,6 +35,26 @@ def documents_batch_to_corpus(batch: pa.Table) -> pa.Table:
     )
 
 
+def union_corpora(corpora: list["ray.data.Dataset"]) -> "ray.data.Dataset":
+    """D2: union of corpus shards -> one corpus Dataset.
+
+    ``ds.union`` is lazy and moves no data (the shards' blocks simply
+    concatenate into one stream); duplicate (repo, path, commit) keys
+    across shards collapse later by the build's D1 rule, exactly as
+    duplicates within one shard do.  For many Parquet directories
+    prefer the multi-path ``ray.data.read_parquet([dir1, dir2, ...])``
+    form — one read op, better file-level parallelism; this helper is
+    for already-constructed Datasets (e.g. differently-filtered
+    sources).
+    """
+    if not corpora:
+        raise ValueError("union_corpora needs at least one corpus")
+    out = corpora[0]
+    for ds in corpora[1:]:
+        out = out.union(ds)
+    return out
+
+
 def read_corpus_from_documents(
     sf_dir: str,
     repeat: int = 1,

@@ -434,16 +434,21 @@ def run_queries(
 
 
 def latency_profile(
-    index_dir: str, queries: list[dict], mode: str = "auto", min_executions: int = 1000
+    index_dir: str, queries: list[dict], mode: str = "auto",
+    min_executions: int = 1000, max_seconds: float = 60.0,
 ) -> dict:
     """p50/p99 per-query latency on a WARM reader (BASELINE.md metric):
-    repeats the query set until >= min_executions, single process, same
+    repeats the query set until >= min_executions or ``max_seconds`` of
+    measured wall time (whichever first — large synthetic corpora have
+    multi-second per-query latencies where 200 executions would take
+    many minutes for the same percentiles), single process, same
     kernels as the actor path."""
     rd = IndexReader(index_dir)
     for q in queries:  # warm every segment + dictionary path
         rd.search(q["text"], int(q.get("k", 10)), mode)
     lat: list[float] = []
-    while len(lat) < min_executions:
+    t_start = time.perf_counter()
+    while len(lat) < min_executions and time.perf_counter() - t_start < max_seconds:
         for q in queries:
             t0 = time.perf_counter()
             rd.search(q["text"], int(q.get("k", 10)), mode)
