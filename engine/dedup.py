@@ -16,8 +16,9 @@ Scale notes (100 TB corpus):
   quadratic in shingle-bucket size, no caps — the DuckDB oracle has
   none either).  At corpus scale it must be gated behind
   minhash_lsh_pairs, whose banding prunes candidates to LSH collisions.
-  Per-doc shingle-set sizes travel through a distributed join onto the
-  pair table — NOTHING corpus-sized is ever collected to the driver.
+  Per-doc shingle-set sizes are computed in-batch and RIDE ON the pair
+  rows through the bucket exchange — no size join, no driver lookup;
+  NOTHING corpus-sized is ever collected to the driver.
 - minhash signatures are fixed-width (NUM_HASHES u64), so the band
   exchange is O(docs x bands) small rows; exact verification
   re-shingles only CANDIDATE docs (broadcast candidate-id filter) and
@@ -115,13 +116,19 @@ def _shingle_hashes(batch: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _explode_shingles(batch: pa.Table, n: int) -> pa.Table:
-    """(sh:uint64, doc_id:int64) rows — one per distinct (doc, shingle)."""
+    """(sh:uint64, doc_id:int64, sz:int64) rows — one per distinct
+    (doc, shingle); ``sz`` is the doc's DISTINCT-shingle-set size,
+    known in-batch (a doc never spans batches), so downstream jaccard
+    needs NO size join or lookup — pairs carry both set sizes through
+    the one bucket exchange."""
     doc_rep, hashes = _shingle_hashes(batch, n)
     ids = batch.column("doc_id").to_numpy()
+    sizes = np.bincount(doc_rep, minlength=batch.num_rows).astype(np.int64)
     return pa.table(
         {
             "sh": pa.array(hashes, pa.uint64()),
             "doc_id": pa.array(ids[doc_rep], pa.int64()),
+            "sz": pa.array(sizes[doc_rep], pa.int64()),
         }
     )
 
@@ -130,31 +137,18 @@ _EMPTY_PAIRS = pa.table(
     {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
 )
 
+_EMPTY_PAIRS_SZ = pa.table(
+    {
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+        "sz_a": pa.array([], pa.int64()),
+        "sz_b": pa.array([], pa.int64()),
+    }
+)
 
-def _jaccard_from_inter(
-    inter: "ray.data.Dataset",
-    sizes: "ray.data.Dataset",
-    threshold: float,
-    num_partitions: int,
-) -> "ray.data.Dataset":
-    """(a, b, inter_n) x (doc_id, sz) -> (a, b, jaccard_r >= threshold).
 
-    Sizes are attached with two DISTRIBUTED hash joins (on a, then b) —
-    the per-doc size table never touches the driver.
-    """
-    sz_a = sizes.map_batches(
-        lambda t: t.rename_columns(["a_key", "sz_a"]), batch_format="pyarrow"
-    )
-    sz_b = sizes.map_batches(
-        lambda t: t.rename_columns(["b_key", "sz_b"]), batch_format="pyarrow"
-    )
-    joined = inter.join(
-        sz_a, join_type="inner", num_partitions=num_partitions,
-        on=("a",), right_on=("a_key",),
-    ).join(
-        sz_b, join_type="inner", num_partitions=num_partitions,
-        on=("b",), right_on=("b_key",),
-    )
+def _finish_jaccard(inter: "ray.data.Dataset", threshold: float) -> "ray.data.Dataset":
+    """(a, b, sz_a, sz_b, inter_n) -> (a, b, jaccard_r >= threshold)."""
 
     def finish(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy()
@@ -172,7 +166,7 @@ def _jaccard_from_inter(
             }
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return inter.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -215,15 +209,17 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
 
 
 def ngram_jaccard_pairs(
-    sf_dir: str, n: int = 3, threshold: float = 0.5, num_partitions: int = 8
+    sf_dir: str, n: int = 3, threshold: float = 0.5
 ) -> "ray.data.Dataset":
     """All doc pairs with word-``n``-gram Jaccard >= threshold (EXACT).
 
-    Pipeline: per-doc distinct shingle hashes -> explode (shingle, doc)
-    -> groupby(shingle).map_groups(emit in-bucket pairs) -> groupby
-    (a, b) count = |intersection| -> distributed join of per-doc
-    shingle counts onto the pair table -> jaccard + filter.  Returns
-    (a, b, jaccard_r) with a < b, jaccard rounded to 6 dp.
+    Pipeline: per-doc distinct shingle hashes -> explode (shingle, doc,
+    set size) -> groupby(shingle).map_groups(emit in-bucket pairs,
+    sizes riding along) -> groupby(a, b, sizes) count = |intersection|
+    -> jaccard + filter.  Exactly TWO all-to-alls (shingle buckets,
+    pair dedup) — set sizes are computed in-batch at explode time and
+    carried on the pair rows, so no size join or driver lookup exists.
+    Returns (a, b, jaccard_r) with a < b, jaccard rounded to 6 dp.
 
     No hot-shingle cap: this is the exact operator the DuckDB oracle
     checks, and the oracle has no cap.  A shingle shared by B docs
@@ -237,29 +233,34 @@ def ngram_jaccard_pairs(
         lambda b: _explode_shingles(b, n), batch_format="pyarrow"
     )
 
-    sizes = exploded.groupby("doc_id").count().map_batches(
-        lambda t: t.rename_columns(["doc_id", "sz"]), batch_format="pyarrow"
-    )
-
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(group.column("doc_id").to_numpy())
+        ids = group.column("doc_id").to_numpy()
+        szs = group.column("sz").to_numpy()
         if len(ids) < 2:
-            return _EMPTY_PAIRS
+            return _EMPTY_PAIRS_SZ
+        order = np.argsort(ids)
+        ids, szs = ids[order], szs[order]
         a_idx, b_idx = np.triu_indices(len(ids), k=1)
         return pa.table(
-            {"a": pa.array(ids[a_idx], pa.int64()), "b": pa.array(ids[b_idx], pa.int64())}
+            {
+                "a": pa.array(ids[a_idx], pa.int64()),
+                "b": pa.array(ids[b_idx], pa.int64()),
+                "sz_a": pa.array(szs[a_idx], pa.int64()),
+                "sz_b": pa.array(szs[b_idx], pa.int64()),
+            }
         )
 
     inter = (
         exploded.groupby("sh")
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
+        .groupby(["a", "b", "sz_a", "sz_b"])  # sizes functionally dependent on a/b
         .count()
         .map_batches(
-            lambda t: t.rename_columns(["a", "b", "inter_n"]), batch_format="pyarrow"
+            lambda t: t.rename_columns(["a", "b", "sz_a", "sz_b", "inter_n"]),
+            batch_format="pyarrow",
         )
     )
-    return _jaccard_from_inter(inter, sizes, threshold, num_partitions)
+    return _finish_jaccard(inter, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -321,7 +322,6 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
-    num_partitions: int = 8,
 ) -> "ray.data.Dataset":
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -335,9 +335,9 @@ def minhash_lsh_pairs(
     Stage 2 (exact verify, DISTRIBUTED): only the candidate PAIR list —
     already LSH-pruned, O(near-dups) — is collected; its doc-id set is
     broadcast as a filter, candidate docs are re-shingled in place, and
-    intersections/sizes flow through the same bucketed groupby + join
-    path as ngram_jaccard_pairs.  No corpus-sized state ever reaches
-    the driver.
+    intersections flow through the same bucketed-groupby path as
+    ngram_jaccard_pairs (set sizes ride on the pair rows — no join).
+    No corpus-sized state ever reaches the driver.
     """
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -404,14 +404,14 @@ def minhash_lsh_pairs(
         return _explode_shingles(batch, n)
 
     cand_shingles = docs.map_batches(explode_candidates, batch_format="pyarrow")
-    sizes = cand_shingles.groupby("doc_id").count().map_batches(
-        lambda t: t.rename_columns(["doc_id", "sz"]), batch_format="pyarrow"
-    )
 
     def bucket_pairs_cand(group: pa.Table) -> pa.Table:
-        ids = np.sort(group.column("doc_id").to_numpy())
+        ids = group.column("doc_id").to_numpy()
+        szs = group.column("sz").to_numpy()
         if len(ids) < 2:
-            return _EMPTY_PAIRS
+            return _EMPTY_PAIRS_SZ
+        order = np.argsort(ids)
+        ids, szs = ids[order], szs[order]
         pairs = ray.get(pair_ref)
         ai, bi = np.triu_indices(len(ids), k=1)
         a, b = ids[ai], ids[bi]
@@ -421,19 +421,25 @@ def minhash_lsh_pairs(
             count=len(a),
         )
         return pa.table(
-            {"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())}
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "sz_a": pa.array(szs[ai[keep]], pa.int64()),
+                "sz_b": pa.array(szs[bi[keep]], pa.int64()),
+            }
         )
 
     inter = (
         cand_shingles.groupby("sh")
         .map_groups(bucket_pairs_cand, batch_format="pyarrow")
-        .groupby(["a", "b"])
+        .groupby(["a", "b", "sz_a", "sz_b"])
         .count()
         .map_batches(
-            lambda t: t.rename_columns(["a", "b", "inter_n"]), batch_format="pyarrow"
+            lambda t: t.rename_columns(["a", "b", "sz_a", "sz_b", "inter_n"]),
+            batch_format="pyarrow",
         )
     )
-    return _jaccard_from_inter(inter, sizes, threshold, num_partitions)
+    return _finish_jaccard(inter, threshold)
 
 
 # ---------------------------------------------------------------------------
