@@ -433,6 +433,12 @@ def _q_top_orders_per_customer(sf_dir: str):
     return relational.top_orders_per_customer(sf_dir, k=3)
 
 
+def _q_asof_join_events(sf_dir: str):
+    from engine import relational
+
+    return relational.asof_join_events(sf_dir, "purchase", "click")
+
+
 def _q_simhash_pairs(sf_dir: str):
     from engine import dedup
 
@@ -490,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_lineitem": _q_quantiles,
         "broadcast_join_suppliers": _q_broadcast_join,
         "top_orders_per_customer": _q_top_orders_per_customer,
+        "asof_join_events": _q_asof_join_events,
         "simhash_dup_pairs": _q_simhash_pairs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -912,6 +919,23 @@ WITH ranked AS (
 )
 SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, price_cents
 FROM ranked WHERE rank <= 3
+""",
+        "asof_join_events": """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'click'),
+j AS (
+  SELECT l.event_id AS left_id, l.user_id, l.t AS left_ts_us,
+         r.event_id AS right_id, r.t AS right_ts_us,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.t DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.t <= l.t
+)
+SELECT left_id, user_id, CAST(left_ts_us AS BIGINT) AS left_ts_us,
+       right_id, CAST(right_ts_us AS BIGINT) AS right_ts_us,
+       CAST(left_ts_us - right_ts_us AS BIGINT) AS lag_us
+FROM j WHERE rn = 1
 """,
         "window_tumbling": """
 SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,

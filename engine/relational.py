@@ -1,6 +1,8 @@
 """Generic relational operators used as building blocks by the engine
 and exposed for pipeline users: broadcast hash join (small side via
-``ray.put``, no shuffle) and per-group top-k (combiner-first).
+``ray.put``, no shuffle), per-group top-k (combiner-first), and an
+AS-OF join (an operator Ray Data lacks, composed from groupby +
+vectorized in-group merge).
 
 These exercise the exact patterns the index pipeline relies on (J2
 broadcast metadata lookup, K3 grouped top-k merge) over the TPC-H-ish
@@ -11,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -57,6 +60,91 @@ def broadcast_join_supplier_nation_region(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
     ).map_batches(join, batch_format="pyarrow")
+
+
+def asof_join_events(
+    sf_dir: str, left_type: str = "purchase", right_type: str = "click"
+) -> "ray.data.Dataset":
+    """AS-OF join over the events table: each ``left_type`` event is
+    matched to the LATEST ``right_type`` event of the same user with
+    ts <= its own (inner: lefts with no prior right are dropped).
+
+    Ray Data has no as-of join; this composes one per SURVEY §2's
+    custom-operator recipe (a): a pushed-down type filter at the read,
+    one groupby(user_id) exchange, and a vectorized in-group
+    sorted-merge (np.searchsorted side='right' — rows sorted by
+    (ts, event_id), so equal timestamps resolve to the largest
+    event_id, a total order both engines agree on).
+
+    PARTITIONING ASSUMPTION: one user's events fit in one group task's
+    memory.  At 100 TB event scale, salt the key with coarse time
+    buckets ((user_id, epoch_day)) and post-patch bucket boundaries
+    with a second pass over each bucket's first left row.
+
+    Output: (left_id, user_id, left_ts_us, right_id, right_ts_us,
+    lag_us), all int64.  Oracle: DuckDB window/ASOF equivalent.
+    """
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pads.field("event_type").isin([left_type, right_type]),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "t": pa.array(ts, pa.int64()),
+                "event_id": batch.column("event_id"),
+                "is_left": pc.equal(batch.column("event_type"), left_type),
+            }
+        )
+
+    def asof_merge(group: pa.Table) -> pa.Table:
+        t = group.column("t").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        is_left = group.column("is_left").to_numpy(zero_copy_only=False)
+        uid = int(group.column("user_id")[0].as_py())
+        lt, lid = t[is_left], eid[is_left]
+        rt, rid = t[~is_left], eid[~is_left]
+        empty = pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "left_ts_us": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "right_ts_us": pa.array([], pa.int64()),
+                "lag_us": pa.array([], pa.int64()),
+            }
+        )
+        if len(lt) == 0 or len(rt) == 0:
+            return empty
+        r_order = np.lexsort((rid, rt))
+        rt, rid = rt[r_order], rid[r_order]
+        idx = np.searchsorted(rt, lt, side="right") - 1
+        keep = idx >= 0
+        if not keep.any():
+            return empty
+        li, ri = lid[keep], idx[keep]
+        return pa.table(
+            {
+                "left_id": pa.array(li, pa.int64()),
+                "user_id": pa.array(np.full(len(li), uid), pa.int64()),
+                "left_ts_us": pa.array(lt[keep], pa.int64()),
+                "right_id": pa.array(rid[ri], pa.int64()),
+                "right_ts_us": pa.array(rt[ri], pa.int64()),
+                "lag_us": pa.array(lt[keep] - rt[ri], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(asof_merge, batch_format="pyarrow")
+    )
 
 
 def top_orders_per_customer(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
