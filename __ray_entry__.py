@@ -439,6 +439,24 @@ def _q_asof_join_events(sf_dir: str):
     return relational.asof_join_events(sf_dir, "purchase", "click")
 
 
+def _q_range_join_orders(sf_dir: str):
+    from engine import relational
+
+    return relational.range_join_orders(sf_dir)
+
+
+def _q_distinct_users_per_event_type(sf_dir: str):
+    from engine import relational
+
+    return relational.distinct_users_per_event_type(sf_dir)
+
+
+def _q_customers_without_orders(sf_dir: str):
+    from engine import relational
+
+    return relational.customers_without_orders(sf_dir)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from engine import dedup
 
@@ -497,6 +515,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join_suppliers": _q_broadcast_join,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "asof_join_events": _q_asof_join_events,
+        "range_join_orders": _q_range_join_orders,
+        "distinct_users_per_event_type": _q_distinct_users_per_event_type,
+        "customers_without_orders": _q_customers_without_orders,
         "simhash_dup_pairs": _q_simhash_pairs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -690,6 +711,24 @@ ranked AS (
 SELECT CAST(s AS BIGINT) AS src_doc, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _range_join_sql() -> str:
+    """Interval-membership oracle over the engine's own band table
+    (imported so the two cannot drift)."""
+    from engine.relational import price_bands
+
+    vals = ", ".join(
+        f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(price_bands())
+    )
+    return f"""
+WITH bands(band_id, lo, hi) AS (VALUES {vals}),
+o AS (SELECT o_orderkey,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders)
+SELECT o.o_orderkey, o.cents AS price_cents,
+       CAST(b.band_id AS BIGINT) AS band_id, CAST(b.lo AS BIGINT) AS band_lo_cents
+FROM o JOIN bands b ON o.cents >= b.lo AND o.cents < b.hi
 """
 
 
@@ -920,6 +959,16 @@ WITH ranked AS (
 SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, price_cents
 FROM ranked WHERE rank <= 3
 """,
+        "range_join_orders": _range_join_sql(),
+        "distinct_users_per_event_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_totalprice > 400000.0)"
+        ),
         "asof_join_events": """
 WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
            WHERE event_type = 'purchase'),

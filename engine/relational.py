@@ -147,6 +147,151 @@ def asof_join_events(
     )
 
 
+def range_join_orders(sf_dir: str) -> "ray.data.Dataset":
+    """BROADCAST RANGE JOIN: each order matched to the price band whose
+    [lo_cents, hi_cents) interval contains it.
+
+    The band table (exponentially widening intervals — deliberately
+    non-uniform so this is a real range join, not arithmetic) is tiny:
+    broadcast once, each batch binary-searches the sorted lower bounds
+    (np.searchsorted) — zero shuffle, the big side streams.  This is
+    custom-operator recipe (a) for the "range join" family: Ray Data
+    has no interval join; small-side broadcast + vectorized
+    searchsorted is the scale shape (a shuffle-based interval join is
+    only needed when BOTH sides are large).
+
+    Output: (o_orderkey, price_cents, band_id, band_lo_cents).
+    Orders above the last band are dropped (inner semantics).
+    """
+    bands = price_bands()
+    los = np.array([lo for lo, _ in bands], dtype=np.int64)
+    his = np.array([hi for _, hi in bands], dtype=np.int64)
+    ref = ray.put((los, his))
+
+    def join(batch: pa.Table) -> pa.Table:
+        lo_arr, hi_arr = ray.get(ref)
+        okey = batch.column("o_orderkey").to_numpy()
+        cents = np.round(batch.column("o_totalprice").to_numpy() * 100.0).astype(
+            np.int64
+        )
+        idx = np.searchsorted(lo_arr, cents, side="right") - 1
+        keep = (idx >= 0) & (cents < hi_arr[np.clip(idx, 0, len(hi_arr) - 1)])
+        idx = idx[keep]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey[keep], pa.int64()),
+                "price_cents": pa.array(cents[keep], pa.int64()),
+                "band_id": pa.array(idx, pa.int64()),
+                "band_lo_cents": pa.array(lo_arr[idx], pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(join, batch_format="pyarrow")
+
+
+def price_bands() -> list[tuple[int, int]]:
+    """Deterministic exponentially-widening price bands (cents):
+    [0, 1e6), [1e6, 3e6), [3e6, 7e6), [7e6, 15e6), [15e6, 31e6), ..."""
+    out, lo, width = [], 0, 1_000_000
+    for _ in range(8):
+        out.append((lo, lo + width))
+        lo += width
+        width *= 2
+    return out
+
+
+def distinct_users_per_event_type(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped EXACT distinct count: per event_type, the number of
+    distinct users.  Combiner-first: each batch emits its distinct
+    (event_type, user_id) pairs (vectorized unique), the groupby
+    dedupes pair partials, and a final per-group count runs over
+    pair rows — the shuffle moves distinct pairs, never raw events.
+    Output: (event_type, n_users)."""
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy()
+        order = np.lexsort((uid, et))
+        et, uid = et[order], uid[order]
+        keep = np.ones(len(et), dtype=bool)
+        keep[1:] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+        return pa.table(
+            {
+                "event_type": pa.array(et[keep], pa.string()),
+                "user_id": pa.array(uid[keep], pa.int64()),
+            }
+        )
+
+    def count_group(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group.column("event_type")[0].as_py()], pa.string()
+                ),
+                "n_users": pa.array([len(np.unique(uid))], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        .map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(count_group, batch_format="pyarrow")
+    )
+
+
+def customers_without_orders(
+    sf_dir: str, min_totalprice: float = 400000.0
+) -> "ray.data.Dataset":
+    """BROADCAST ANTI JOIN: customers having no order above
+    ``min_totalprice`` (the predicate pushes into the orders scan).
+
+    The distinct o_custkey set is reduced distributed (combiner-first
+    unique per batch -> groupby), then broadcast as a sorted array;
+    the customer side streams through a vectorized not-isin filter.
+    At scale with a large right side, flip to a partitioned
+    left_outer ds.join + null filter.  Output: (c_custkey, c_name)."""
+    import pyarrow.dataset as pads
+
+    keys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filter=pads.field("o_totalprice") > min_totalprice,
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {"o_custkey": pa.array(np.unique(b.column("o_custkey").to_numpy()))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+        .take_all()
+    )
+    have = np.sort(np.array([r["o_custkey"] for r in keys], dtype=np.int64))
+    ref = ray.put(have)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        h = ray.get(ref)
+        ck = batch.column("c_custkey").to_numpy()
+        if len(h) == 0:
+            return batch
+        pos = np.searchsorted(h, ck)
+        found = (pos < len(h)) & (h[np.clip(pos, 0, len(h) - 1)] == ck)
+        return batch.filter(pa.array(~found))
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(anti, batch_format="pyarrow")
+
+
 def top_orders_per_customer(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     """Per customer: its k most expensive orders, ranked.
 
