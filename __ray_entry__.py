@@ -324,6 +324,15 @@ def _q_knn_lsh(sf_dir: str):
     return similarity.knn_lsh(sf_dir, k=5, n_queries=10, nbits=8, probe_hamming=3)
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF ANN at a genuinely-approximate operating point (nprobe <
+    nlist) — rows-only; nprobe == nlist is pytest-pinned identical to
+    knn_bruteforce, recall/determinism pytest-covered."""
+    from engine import similarity
+
+    return similarity.knn_ivf(sf_dir, k=5, n_queries=10, nlist=16, nprobe=6)
+
+
 def _q_token_counts(sf_dir: str):
     from engine import textanalysis
 
@@ -502,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dups,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "language_id": _q_language_id,

@@ -135,6 +135,147 @@ def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits @ weights
 
 
+def train_ivf_centroids(
+    sf_dir: str, nlist: int = 16, iters: int = 5
+) -> np.ndarray:
+    """Deterministic distributed k-means (cosine/spherical): centroids
+    seeded from the ``nlist`` lowest vec_ids, then ``iters`` Lloyd
+    rounds where each round is ONE streaming map_batches pass emitting
+    per-cluster partial (sum, count) rows; the driver only ever holds
+    the [nlist x dim] centroid matrix (tiny, bounded).  Empty clusters
+    keep their previous centroid.  Returns L2-normalized centroids.
+    """
+    seed_ids, seed_mat = _load_queries(sf_dir, nlist)
+    cent = seed_mat.copy()
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _normalized(
+                np.vstack(
+                    batch.column("embedding").to_numpy(zero_copy_only=False)
+                ).astype(np.float64)
+            )
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c))
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["cluster"]] += r["n"]
+        nonempty = counts > 0
+        cent[nonempty] = _normalized(sums[nonempty] / counts[nonempty, None])
+    return cent
+
+
+def knn_ivf(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> "ray.data.Dataset":
+    """Approximate cosine top-k via an IVF (inverted-file) index: the
+    corpus is k-means-clustered (train_ivf_centroids), each query
+    probes only its ``nprobe`` nearest clusters, and each streaming
+    batch matmuls a query against just its probed-cluster members.
+
+    With nprobe == nlist the scan is exhaustive and results equal
+    knn_bruteforce EXACTLY (pytest-pinned); recall at nprobe < nlist
+    is property-tested.  Output schema matches knn_bruteforce.
+
+    Scale notes: training is iters streaming passes (driver holds only
+    nlist x dim floats); serving is one pass with per-batch cluster
+    masks.  On a real deployment the assignment would be precomputed
+    and the corpus PARTITIONED BY cluster id (write_parquet with
+    cluster dirs) so probes read only nprobe/nlist of the data — the
+    in-pass mask here computes the same candidate set without
+    re-materializing the corpus.
+    """
+    cent = train_ivf_centroids(sf_dir, nlist=nlist)
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, q_mat, cent, probes))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat, c, prb = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy()
+        m = _normalized(
+            np.vstack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        assign = np.argmax(m @ c.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            cand = np.nonzero(np.isin(assign, prb[qi]))[0]
+            if cand.size == 0:
+                continue
+            sims = round6(m[cand] @ qmat[qi])
+            kk = min(k, cand.size)
+            order = np.lexsort((ids[cand], -sims))[:kk]
+            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            out_v.append(ids[cand][order])
+            out_s.append(sims[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine_r": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine_r": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        sims = group.column("cosine_r").to_numpy()
+        ids = group.column("vec_id").to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.full(n, group.column("query_id")[0].as_py(), np.int64), pa.int64()
+                ),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "cosine_r": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
+
+
 def knn_lsh(
     sf_dir: str,
     k: int = 5,

@@ -44,6 +44,46 @@ def test_bruteforce_matches_numpy(ray_session, sf_dir):
         ], qid
 
 
+def test_ivf_exhaustive_probe_equals_bruteforce(ray_session, sf_dir):
+    """nprobe == nlist scans every cluster -> results must be
+    IDENTICAL to knn_bruteforce (same floats, same tie-breaks)."""
+    k, nq, nlist = 5, 8, 8
+    a = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_r"])
+        for r in similarity.knn_ivf(
+            sf_dir, k=k, n_queries=nq, nlist=nlist, nprobe=nlist
+        ).take_all()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_r"])
+        for r in similarity.knn_bruteforce(sf_dir, k=k, n_queries=nq).take_all()
+    )
+    assert a == b
+
+
+def test_ivf_deterministic_and_recall(ray_session, sf_dir):
+    k, nq = 5, 8
+    exact = _numpy_topk(sf_dir, k, nq)
+    got1 = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in similarity.knn_ivf(sf_dir, k=k, n_queries=nq, nlist=16, nprobe=6).take_all()
+    )
+    got2 = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in similarity.knn_ivf(sf_dir, k=k, n_queries=nq, nlist=16, nprobe=6).take_all()
+    )
+    assert got1 == got2  # deterministic training + serving
+    by_q: dict[int, set] = {}
+    for qid, _, vid in got1:
+        by_q.setdefault(qid, set()).add(vid)
+    recalls = [
+        len({v for v, _ in exact[q]} & vs) / k for q, vs in by_q.items()
+    ]
+    assert np.mean(recalls) >= 0.5
+    for q, vs in by_q.items():
+        assert q in vs  # self-match always lands in the probed cluster
+
+
 def test_lsh_sound_and_recall(ray_session, sf_dir):
     k, nq = 5, 8
     exact = _numpy_topk(sf_dir, k, nq)
