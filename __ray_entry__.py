@@ -785,6 +785,47 @@ WHERE b.rn = 1
 """
 
 
+# Shared CTE chain computing the complete (doc_id, simhash) table in
+# pure SQL: tokenize exactly like engine.dedup._tokens (lower + split
+# on single space, empties dropped), FNV-1a-64 each occurrence's token
+# over its UTF-8 codepoints (== bytes for this ASCII corpus) with
+# HUGEINT arithmetic so the mod-2^64 multiply never overflows, then
+# tf-weighted +/-1 votes per bit and sign accumulation.  `fp` keeps a
+# row for EVERY document (token-less docs get simhash 0, matching the
+# engine's zero-initialized accumulator).
+_SIMHASH_FP_CTE = """toks AS (
+  SELECT d.doc_id, lower(u.tok) AS t
+  FROM documents d, unnest(string_split(d.text, ' ')) AS u(tok)
+  WHERE u.tok <> ''
+),
+hashed AS (
+  SELECT doc_id,
+    CAST(list_reduce(
+      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS HUGEINT))),
+      (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616
+    ) AS UBIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, bits.b AS bit,
+    sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN range(64) bits(b)
+  GROUP BY doc_id, bits.b
+),
+fp0 AS (
+  SELECT doc_id,
+    CAST(coalesce(sum(CASE WHEN v > 0
+         THEN CAST(1 AS HUGEINT) << CAST(bit AS INTEGER) ELSE 0 END), 0)
+      AS UBIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+fp AS (
+  SELECT d.doc_id, CAST(coalesce(fp0.simhash, 0) AS UBIGINT) AS simhash
+  FROM documents d LEFT JOIN fp0 USING (doc_id)
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         "doc_lengths": (
@@ -909,6 +950,25 @@ SELECT doc_id,
 FROM t
 """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        # SimHash is fully SQL-expressible: FNV-1a 64 via list_reduce
+        # over UTF-8 codepoints (ASCII corpus; HUGEINT keeps the
+        # modular multiply exact), per-bit tf-weighted votes, sign
+        # accumulation.  Matches engine.dedup.simhash_fingerprints
+        # bit-for-bit (uint64).
+        "simhash_fingerprints": f"""
+WITH {_SIMHASH_FP_CTE}
+SELECT doc_id, simhash FROM fp
+""",
+        # pair oracle: exhaustive self-join over the SQL fingerprints;
+        # the engine's pigeonhole 4-block index is exact below its
+        # 2000-docs-per-bucket guard, never reached at sf0.01.
+        "simhash_dup_pairs": f"""
+WITH {_SIMHASH_FP_CTE}
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
         "language_id": _language_id_sql(),
         "media_decode": (
             # the deterministic 'fake' payloads are synthesized from
