@@ -424,6 +424,18 @@ def _q_bottomk_sample(sf_dir: str):
     return sketches.bottomk_sample(sf_dir, n=20)
 
 
+def _q_stratified_sample(sf_dir: str):
+    from engine import sketches
+
+    return sketches.stratified_sample(sf_dir, by="lang", k=5)
+
+
+def _q_decontaminate(sf_dir: str):
+    from engine import dedup
+
+    return dedup.decontaminate(sf_dir, n=3, eval_mod=50, min_overlap=1)
+
+
 def _q_quantiles(sf_dir: str):
     from engine import sketches
 
@@ -521,6 +533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_terms": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bottomk_sample": _q_bottomk_sample,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
         "quantiles_lineitem": _q_quantiles,
         "broadcast_join_suppliers": _q_broadcast_join,
         "top_orders_per_customer": _q_top_orders_per_customer,
@@ -1003,6 +1017,40 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             "SELECT doc_id FROM documents "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 20"
         ),
+        "stratified_sample": """
+WITH r AS (
+  SELECT lang AS stratum, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+  FROM documents
+)
+SELECT stratum, CAST(rank AS BIGINT) AS rank, doc_id FROM r WHERE rank <= 5
+""",
+        "decontaminate": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tk FROM tok
+),
+sh AS (
+  SELECT DISTINCT t1.doc_id, t1.tk || ' ' || t2.tk || ' ' || t3.tk AS s
+  FROM tokpos t1
+  JOIN tokpos t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+  JOIN tokpos t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+ov AS (
+  SELECT sh.doc_id, count(*) AS n FROM sh JOIN ev USING (s)
+  WHERE sh.doc_id % 50 <> 0 GROUP BY sh.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+       coalesce(ov.n, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+WHERE d.doc_id % 50 <> 0
+""",
         "quantiles_lineitem": """
 WITH qv AS (
   SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,

@@ -263,6 +263,68 @@ def ngram_jaccard_pairs(
     return _finish_jaccard(inter, threshold)
 
 
+def decontaminate(
+    sf_dir: str, n: int = 3, eval_mod: int = 50, min_overlap: int = 1
+) -> "ray.data.Dataset":
+    """Training-data decontamination: flag training docs that share
+    word n-grams with a held-out evaluation set.
+
+    The eval set here is the deterministic slice doc_id % eval_mod == 0
+    (stand-in for an external benchmark file).  Its DISTINCT shingle
+    hashes are collected once — eval sets are benchmark-sized, i.e.
+    broadcast-small BY DEFINITION, so `take_all` over eval shingles is
+    bounded by the benchmark, not the corpus — `ray.put` once, and
+    every training batch counts its overlap with one vectorized
+    ``np.isin`` against the sorted eval-hash array.  ONE streaming pass
+    over the corpus, no shuffle.
+
+    Output: every non-eval doc as (doc_id, n_overlap = distinct shared
+    shingles, contaminated = n_overlap >= min_overlap).  Shingle hashes
+    stand in for shingle strings (64-bit collisions negligible; the
+    DuckDB oracle joins on the strings themselves).
+    """
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def eval_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sel = np.nonzero(ids % eval_mod == 0)[0]
+        sub = batch.take(pa.array(sel))
+        _, sh = _shingle_hashes(sub, n)
+        return pa.table({"h": pa.array(np.unique(sh), pa.uint64())})
+
+    ev = np.unique(
+        np.concatenate(
+            [
+                b.column("h").to_numpy()
+                for b in docs.map_batches(
+                    eval_hashes, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+            ]
+            or [np.zeros(0, np.uint64)]
+        )
+    )
+    ref = ray.put(ev)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        evh = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy()
+        sd, sh = _shingle_hashes(batch, n)
+        hit = np.isin(sh, evh)
+        n_ov = np.bincount(sd[hit], minlength=len(ids)).astype(np.int64)
+        train = ids % eval_mod != 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[train], pa.int64()),
+                "n_overlap": pa.array(n_ov[train], pa.int64()),
+                "contaminated": pa.array(n_ov[train] >= min_overlap, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # D-MH: MinHash + LSH candidate pairs, exact-verified (distributed)
 # ---------------------------------------------------------------------------

@@ -234,6 +234,72 @@ def bottomk_sample(sf_dir: str, n: int = 20) -> "ray.data.Dataset":
     )
 
 
+def stratified_sample(
+    sf_dir: str, by: str = "lang", k: int = 5
+) -> "ray.data.Dataset":
+    """Deterministic k-per-stratum sample: within each ``by`` group,
+    the ``k`` docs with the smallest (md5(doc_id), doc_id) rank key —
+    the per-group extension of ``bottomk_sample``.
+
+    Scale shape: each batch keeps at most k rows PER STRATUM seen in
+    that batch (bottom-k partials), so the groupby exchange moves
+    O(k x strata x batches) tiny rows, never the corpus; the number of
+    strata (languages/sources) is assumed vocabulary-small.  Adding a
+    stratum column never changes which docs another stratum samples
+    (rank keys are per-doc, partition-independent).
+
+    Output: (stratum, rank 1..k, doc_id).
+    Oracle: ``row_number() OVER (PARTITION BY lang ORDER BY
+    md5(CAST(doc_id AS VARCHAR)), doc_id)``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        strata = batch.column(by).to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        keep_s, keep_i, keep_k = [], [], []
+        per: dict[str, list[int]] = {}
+        for j in sorted(range(len(ids)), key=lambda j: (keys[j], ids[j])):
+            got = per.setdefault(strata[j], [])
+            if len(got) < k:
+                got.append(j)
+        for s, idxs in per.items():
+            for j in idxs:
+                keep_s.append(s)
+                keep_i.append(ids[j])
+                keep_k.append(keys[j])
+        return pa.table(
+            {
+                "stratum": pa.array(keep_s, pa.string()),
+                "doc_id": pa.array(keep_i, pa.int64()),
+                "hkey": pa.array(keep_k, pa.string()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        keys = group.column("hkey").to_pylist()
+        order = sorted(range(len(ids)), key=lambda j: (keys[j], ids[j]))[:k]
+        return pa.table(
+            {
+                "stratum": pa.array(
+                    [group.column("stratum")[0].as_py()] * len(order), pa.string()
+                ),
+                "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+                "doc_id": pa.array([ids[j] for j in order], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", by]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("stratum")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact distributed quantiles
 # ---------------------------------------------------------------------------

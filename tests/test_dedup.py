@@ -203,3 +203,23 @@ def test_embedding_dup_pairs_vs_numpy(ray_session, sf_dir):
     assert set(got) == set(want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_decontaminate_vs_local_oracle(ray_session, sf_dir):
+    n, mod = 3, 50
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in dedup.decontaminate(sf_dir, n=n, eval_mod=mod).take_all()
+    }
+    sh = _local_shingles(sf_dir, n)
+    ev = set()
+    for d, s in sh.items():
+        if d % mod == 0:
+            ev |= s
+    want = {
+        d: (len(s & ev), len(s & ev) >= 1)
+        for d, s in sh.items()
+        if d % mod != 0
+    }
+    assert got == want
+    assert any(c for _, c in got.values())  # the check is non-vacuous

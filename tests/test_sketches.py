@@ -56,3 +56,24 @@ def test_exact_quantiles_match_duckdb(ray_session, con):
         "[0.25,0.5,0.75,0.9,0.99]) FROM lineitem"
     ).fetchone()[0]
     assert got.column("cents").to_pylist() == want
+
+
+def test_stratified_sample_deterministic_and_oracle(ray_session, con):
+    got = sorted(
+        (r["stratum"], r["rank"], r["doc_id"])
+        for r in sketches.stratified_sample(SF, by="lang", k=5).take_all()
+    )
+    again = sorted(
+        (r["stratum"], r["rank"], r["doc_id"])
+        for r in sketches.stratified_sample(SF, by="lang", k=5).take_all()
+    )
+    assert got == again  # partition/order independent
+    orc = sorted(
+        tuple(r)
+        for r in con.execute(
+            "WITH r AS (SELECT lang AS stratum, doc_id, row_number() OVER ("
+            "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank "
+            "FROM documents) SELECT stratum, rank, doc_id FROM r WHERE rank <= 5"
+        ).fetchall()
+    )
+    assert got == orc
