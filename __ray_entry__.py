@@ -114,6 +114,18 @@ def _q_top_terms(sf_dir: str):
     return textstats.top_terms(sf_dir, 20)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    from engine import textstats
+
+    return textstats.tfidf_top_terms(sf_dir, k=3)
+
+
+def _q_top_ngrams(sf_dir: str):
+    from engine import textstats
+
+    return textstats.top_ngrams(sf_dir, n=3, k=20)
+
+
 def _q_collection_stats(sf_dir: str):
     from engine import textstats
 
@@ -508,6 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": _q_term_df,
         "term_cf": _q_term_cf,
         "top_terms": _q_top_terms,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "top_ngrams": _q_top_ngrams,
         "collection_stats": _q_collection_stats,
         "bm25_topk_nostem": _q_bm25_topk_nostem,
         "bm25_and_nostem": _q_bm25_and_nostem,
@@ -855,6 +869,41 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
             f"FROM ({_TOK2}) GROUP BY term ORDER BY cf DESC, term LIMIT 20"
         ),
+        "tfidf_top_terms": f"""
+WITH flat AS ({_TOK2}),
+tf AS (SELECT doc_id, term, count(*) AS c FROM flat GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS d FROM flat GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.c * ln(nn.n * 1.0 / df.d) AS sc
+  FROM tf JOIN df USING (term) CROSS JOIN nn
+),
+r AS (
+  SELECT doc_id, term, sc,
+         row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, term) AS rn
+  FROM s
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rank, term,
+       CAST(round(sc, 6) AS DOUBLE) AS tfidf_r
+FROM r WHERE rn <= 3
+""",
+        "top_ngrams": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tk FROM tok
+),
+ng AS (
+  SELECT t1.tk || ' ' || t2.tk || ' ' || t3.tk AS s
+  FROM tokpos t1
+  JOIN tokpos t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+  JOIN tokpos t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+)
+SELECT s AS ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
+""",
         "collection_stats": (
             # CAST sum to BIGINT (DuckDB sum(BIGINT) is HUGEINT -> pandas
             # float64, which hash-mismatches the engine's int64) and round

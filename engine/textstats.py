@@ -110,6 +110,135 @@ def top_terms(sf_dir: str, n: int = 20) -> "ray.data.Dataset":
     return term_stats(sf_dir).sort(["cf", "term"], descending=[True, False]).limit(n)
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Per-document keyword extraction: the k terms with the highest
+    tf x ln(N/df) score per doc (ties: term asc).
+
+    Two-phase broadcast pattern: phase 1 computes the (term, df) table
+    (vocabulary-sized — Zipf-bounded, same justification as the
+    language-ID profiles) and ships it to every task via ``ray.put``;
+    phase 2 is ONE streaming pass scoring each batch fully vectorized.
+    idf values are computed per DISTINCT df with math.log (libm —
+    bit-identical to DuckDB's ``ln``) rather than numpy's SIMD log,
+    so round6(score) never straddles a rounding boundary across
+    engines.
+
+    Output: (doc_id, rank 1..k, term, tfidf_r).
+    """
+    import math
+
+    from .functions import round6
+
+    df_rows = term_stats(sf_dir).select_columns(["term", "df"]).take_all()
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    terms = np.array([r["term"] for r in df_rows])
+    dfs = np.array([r["df"] for r in df_rows], dtype=np.int64)
+    idf_by_df = {int(d): math.log(n_docs * 1.0 / int(d)) for d in np.unique(dfs)}
+    order = np.argsort(terms)
+    term_sorted, idf_sorted = (
+        terms[order],
+        np.array([idf_by_df[int(d)] for d in dfs[order]], dtype=np.float64),
+    )
+    ref = ray.put((term_sorted, idf_sorted))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tsort, idf = ray.get(ref)
+        doc_rep, _, flat = _split_lower(batch)
+        ids = batch.column("doc_id").to_numpy()
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tfidf_r": pa.array([], pa.float64()),
+                }
+            )
+        denc = pc.dictionary_encode(flat)
+        codes = denc.indices.to_numpy().astype(np.int64)
+        # distinct (doc, term) pairs + tf counts, vectorized
+        nv = len(denc.dictionary)
+        pair = doc_rep * nv + codes
+        upair, tf = np.unique(pair, return_counts=True)
+        pd_, pt = upair // nv, upair % nv
+        batch_terms = np.asarray(denc.dictionary.to_pylist())
+        gi = np.searchsorted(tsort, batch_terms[pt])
+        sc = tf.astype(np.float64) * idf[gi]
+        t_arr = batch_terms[pt]
+        so = np.lexsort((t_arr, -sc, pd_))
+        pd_, t_arr, sc = pd_[so], t_arr[so], sc[so]
+        starts = np.searchsorted(pd_, np.arange(len(ids)))
+        rank = np.arange(len(pd_)) - np.repeat(
+            starts, np.diff(np.append(starts, len(pd_)))
+        )
+        keep = rank < k
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[pd_[keep]], pa.int64()),
+                "rank": pa.array(rank[keep] + 1, pa.int64()),
+                "term": pa.array(t_arr[keep], pa.string()),
+                "tfidf_r": pa.array(round6(sc[keep]), pa.float64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(score, batch_format="pyarrow")
+
+
+def top_ngrams(sf_dir: str, n: int = 3, k: int = 20) -> "ray.data.Dataset":
+    """k most frequent word n-grams (occurrence-counted, not distinct
+    per doc); ties broken ngram asc — the n-gram analogue of top_terms.
+
+    Combiner-first: each batch emits one partial row per DISTINCT
+    n-gram (Zipf-bounded), so the groupby exchange never carries the
+    raw n-gram stream.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        doc_rep, _, flat = _split_lower(batch)
+        empty = pa.table(
+            {"ngram": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+        )
+        if len(flat) < n:
+            return empty
+        # positions whose whole n-window stays inside one doc
+        ok = doc_rep[: len(doc_rep) - n + 1] == doc_rep[n - 1 :]
+        if not ok.any():
+            return empty
+        parts = [
+            flat.slice(j, len(flat) - n + 1).filter(pa.array(ok)) for j in range(n)
+        ]
+        grams = pc.binary_join_element_wise(*parts, " ")  # last arg = separator
+        denc = pc.dictionary_encode(grams)
+        cnt = np.bincount(
+            denc.indices.to_numpy().astype(np.int64),
+            minlength=len(denc.dictionary),
+        )
+        return pa.table(
+            {
+                "ngram": denc.dictionary,
+                "c": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("ngram")
+        .sum("c")
+        .map_batches(
+            lambda b: b.rename_columns(["ngram", "cnt"]), batch_format="pyarrow"
+        )
+        .sort(["cnt", "ngram"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def collection_stats(sf_dir: str) -> pa.Table:
     """Single-row global aggregates (G4): Ray Data count/sum/mean.
 

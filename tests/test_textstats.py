@@ -1,0 +1,65 @@
+"""textstats operator tests vs local pure-Python oracles (the DuckDB
+oracles run in the driver gate; these pin semantics independently)."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from engine import textstats
+from engine.functions import round6_scalar
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.01"
+
+
+def _local_docs(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return {
+        did: [w.lower() for w in text.split(" ") if w]
+        for did, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        )
+    }
+
+
+def test_tfidf_top_terms_vs_local(ray_session, sf_dir):
+    k = 3
+    docs = _local_docs(sf_dir)
+    n = len(docs)
+    df = Counter()
+    for toks in docs.values():
+        df.update(set(toks))
+    want = {}
+    for did, toks in docs.items():
+        tf = Counter(toks)
+        scored = sorted(
+            ((t, c * math.log(n * 1.0 / df[t])) for t, c in tf.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        for rank, (t, s) in enumerate(scored, 1):
+            want[(did, rank)] = (t, round6_scalar(s))
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf_r"])
+        for r in textstats.tfidf_top_terms(sf_dir, k=k).take_all()
+    }
+    assert got == want
+
+
+def test_top_ngrams_vs_local(ray_session, sf_dir):
+    n, k = 3, 20
+    docs = _local_docs(sf_dir)
+    cnt = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - n + 1):
+            cnt[" ".join(toks[i : i + n])] += 1
+    want = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[:k]
+    got = [
+        (r["ngram"], r["cnt"])
+        for r in textstats.top_ngrams(sf_dir, n=n, k=k).take_all()
+    ]
+    assert got == want
