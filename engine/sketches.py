@@ -24,6 +24,7 @@ and only sketch-sized state crosses the wire.
 from __future__ import annotations
 
 import hashlib
+import json
 
 import numpy as np
 import pyarrow as pa
@@ -127,19 +128,37 @@ def cms_heavy_hitters(
     rows, est-count desc.
     """
     seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    _cms_nbytes = depth * width * 8
+
+    # the accumulator travels through Ray Data blocks as ONE Arrow
+    # binary value (fixed-size CMS matrix prefix + \x00-joined candidate
+    # terms) — keeping the state Arrow-native avoids the pickled-object
+    # block fallback (and its per-block warning) entirely.
+    def _pack(cms: np.ndarray, cand: dict) -> bytes:
+        return cms.tobytes() + "\x00".join(cand).encode()
+
+    def _unpack(blob: bytes) -> tuple[np.ndarray, dict]:
+        cms = (
+            np.frombuffer(blob[:_cms_nbytes], dtype=np.int64)
+            .reshape(depth, width)
+            .copy()
+        )
+        rest = blob[_cms_nbytes:]
+        cand = {t: None for t in rest.decode().split("\x00")} if rest else {}
+        return cms, cand
 
     def init(_key):
-        return (np.zeros((depth, width), dtype=np.int64), {})
+        return _pack(np.zeros((depth, width), dtype=np.int64), {})
 
     def _rows(h: np.ndarray) -> np.ndarray:
         # depth x n bucket indices
         return np.stack([((h * s) >> np.uint64(32)) % np.uint64(width) for s in seeds])
 
     def accumulate_block(state, block: pa.Table):
-        cms, cand = state[0].copy(), dict(state[1])
+        cms, cand = _unpack(state)
         toks = _flat_tokens(block)
         if len(toks) == 0:
-            return (cms, cand)
+            return _pack(cms, cand)
         denc = pc.dictionary_encode(toks)
         codes = denc.indices.to_numpy().astype(np.int64)
         uniq = denc.dictionary.to_pylist()
@@ -156,7 +175,7 @@ def cms_heavy_hitters(
             order = np.argsort(-ests)[:max_candidates]
             names = list(cand)
             cand = {names[i]: None for i in order}
-        return (cms, cand)
+        return _pack(cms, cand)
 
     def _estimate(cms: np.ndarray, terms: list[str]) -> np.ndarray:
         h = _fnv64(terms)
@@ -167,31 +186,34 @@ def cms_heavy_hitters(
         return ests
 
     def merge(a, b):
-        cand = dict(a[1])
-        cand.update(b[1])
-        cms = a[0] + b[0]
+        cms_a, cand = _unpack(a)
+        cms_b, cand_b = _unpack(b)
+        cand.update(cand_b)
+        cms = cms_a + cms_b
         if len(cand) > max_candidates:
             ests = _estimate(cms, list(cand))
             order = np.argsort(-ests)[:max_candidates]
             names = list(cand)
             cand = {names[i]: None for i in order}
-        return (cms, cand)
+        return _pack(cms, cand)
 
     def finalize(state):
-        cms, cand = state
+        # return JSON (Arrow-native string) — tuple lists would force a
+        # pickled-object result block
+        cms, cand = _unpack(state)
         terms = sorted(cand)  # deterministic tie-break base order
         if not terms:
-            return []
+            return json.dumps([])
         ests = _estimate(cms, terms)
         order = np.lexsort((np.array(terms, dtype=object), -ests))[:k]
-        return [(terms[i], int(ests[i])) for i in order]
+        return json.dumps([(terms[i], int(ests[i])) for i in order])
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     res = ds.aggregate(
         AggregateFn(init=init, merge=merge, name="cms",
                     accumulate_block=accumulate_block, finalize=finalize)
     )
-    rows = res["cms"]
+    rows = json.loads(res["cms"])
     return pa.table(
         {
             "term": pa.array([t for t, _ in rows], pa.string()),
