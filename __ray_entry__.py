@@ -336,6 +336,12 @@ def _q_knn_lsh(sf_dir: str):
     return similarity.knn_lsh(sf_dir, k=5, n_queries=10, nbits=8, probe_hamming=3)
 
 
+def _q_label_centroids(sf_dir: str):
+    from engine import similarity
+
+    return similarity.label_centroids(sf_dir)
+
+
 def _q_knn_ivf(sf_dir: str):
     """IVF ANN at a genuinely-approximate operating point (nprobe <
     nlist) — rows-only; nprobe == nlist is pytest-pinned identical to
@@ -538,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "label_centroids": _q_label_centroids,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "language_id": _q_language_id,
@@ -969,6 +976,14 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+        "label_centroids": """
+SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(round(avg(v), 6) AS DOUBLE) AS mean_r
+FROM (SELECT label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings)
+GROUP BY label, i
 """,
         "knn_bruteforce": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10),

@@ -135,6 +135,59 @@ def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits @ weights
 
 
+def label_centroids(sf_dir: str) -> "ray.data.Dataset":
+    """Per-label mean embedding (class prototypes / cluster centroids
+    for data curation), flattened to (label, dim, mean_r) rows so the
+    DuckDB oracle can compare scalar-by-scalar.
+
+    Combiner-first: each batch emits one (label, dim, sum, count) row
+    per label x dimension seen in the batch, so the groupby exchange
+    moves O(labels x dim x batches) partials — never embedding rows.
+    Sums are float64 (float32 inputs are exactly representable), means
+    round6 like every cross-engine float.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy()
+        m = np.vstack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        dim = m.shape[1]
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim).astype(np.int64), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq)), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(counts, dim), pa.int64()),
+            }
+        )
+
+    def mean(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum(s)").to_numpy()
+        n = batch.column("sum(n)").to_numpy()
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "dim": batch.column("dim"),
+                "mean_r": pa.array(round6(s / n), pa.float64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .sum(["s", "n"])
+        .map_batches(mean, batch_format="pyarrow")
+    )
+
+
 def train_ivf_centroids(
     sf_dir: str, nlist: int = 16, iters: int = 5
 ) -> np.ndarray:

@@ -113,3 +113,25 @@ def test_lsh_sound_and_recall(ray_session, sf_dir):
     assert np.mean(recalls) >= 0.5
     for qid, rows in got.items():
         assert qid in {v for _, v, _ in rows}
+
+
+def test_label_centroids_vs_numpy(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    from engine.functions import round6
+
+    got = {
+        (r["label"], r["dim"]): r["mean_r"]
+        for r in similarity.label_centroids(sf_dir).take_all()
+    }
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    labels = t.column("label").to_numpy()
+    m = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    for lab in np.unique(labels):
+        mean = m[labels == lab].mean(axis=0)
+        for d in range(m.shape[1]):
+            assert abs(got[(int(lab), d)] - mean[d]) < 1e-6, (lab, d)
+    assert len(got) == len(np.unique(labels)) * m.shape[1]
