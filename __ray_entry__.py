@@ -454,6 +454,14 @@ def _q_decontaminate(sf_dir: str):
     return dedup.decontaminate(sf_dir, n=3, eval_mod=50, min_overlap=1)
 
 
+def _q_corpus_prep(sf_dir: str):
+    from engine import prep
+
+    return prep.corpus_prep(
+        sf_dir, q=0.25, n=3, eval_mod=50, min_overlap=3, jaccard_threshold=0.5
+    )
+
+
 def _q_quantiles(sf_dir: str):
     from engine import sketches
 
@@ -556,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample": _q_bottomk_sample,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
+        "corpus_prep": _q_corpus_prep,
         "quantiles_lineitem": _q_quantiles,
         "broadcast_join_suppliers": _q_broadcast_join,
         "top_orders_per_customer": _q_top_orders_per_customer,
@@ -1114,6 +1123,53 @@ SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
        coalesce(ov.n, 0) >= 1 AS contaminated
 FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
 WHERE d.doc_id % 50 <> 0
+""",
+        # the full curation chain replayed as one query (see
+        # engine/prep.py for the stage semantics; every CTE below is a
+        # component entry's own green oracle)
+        "corpus_prep": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tk FROM tok
+),
+sh AS (
+  SELECT DISTINCT t1.doc_id, t1.tk || ' ' || t2.tk || ' ' || t3.tk AS s
+  FROM tokpos t1
+  JOIN tokpos t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+  JOIN tokpos t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+contaminated AS (
+  SELECT sh.doc_id FROM sh JOIN ev USING (s)
+  WHERE sh.doc_id % 50 <> 0 GROUP BY sh.doc_id HAVING count(*) >= 3
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dupb AS (
+  SELECT DISTINCT inter.b FROM inter
+  JOIN cnt ca ON inter.a = ca.doc_id
+  JOIN cnt cb ON inter.b = cb.doc_id
+  WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.5
+),
+qr AS (
+  SELECT doc_id, CASE WHEN len(w) = 0 THEN 0.0
+         ELSE round(len(list_distinct(w)) * 1.0 / len(w), 6) END AS r
+  FROM tok
+),
+thr AS (SELECT quantile_disc(r, 0.25) AS t FROM qr)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN qr USING (doc_id) CROSS JOIN thr
+WHERE qr.r >= thr.t
+  AND d.doc_id % 50 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND d.doc_id NOT IN (SELECT b FROM dupb)
 """,
         "quantiles_lineitem": """
 WITH qv AS (

@@ -1,0 +1,87 @@
+"""corpus_prep composite pipeline vs an independent pure-Python replay
+of its stage semantics (the DuckDB replay runs in the driver gate)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from engine import prep
+from engine.functions import round6_scalar
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.01"
+
+
+def _local(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    docs = {}
+    for did, text, lang in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("text").to_pylist(),
+        t.column("lang").to_pylist(),
+    ):
+        toks = [w.lower() for w in text.split(" ") if w]
+        docs[did] = (toks, lang)
+    return docs
+
+
+def test_corpus_prep_vs_local(ray_session, sf_dir):
+    q, n, mod, min_ov, jthr = 0.25, 3, 50, 3, 0.5
+    docs = _local(sf_dir)
+
+    # stage 1: quality-quantile threshold (quantile_disc rule)
+    ratios = sorted(
+        round6_scalar(len(set(tk)) / len(tk)) if tk else 0.0
+        for tk, _ in docs.values()
+    )
+    thr = ratios[max(int(math.ceil(q * len(ratios))), 1) - 1]
+
+    # stage 2: contamination vs the eval slice
+    sh = {
+        d: {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+        for d, (tk, _) in docs.items()
+    }
+    ev = set()
+    for d, s in sh.items():
+        if d % mod == 0:
+            ev |= s
+    contaminated = {
+        d for d, s in sh.items() if d % mod != 0 and len(s & ev) >= min_ov
+    }
+
+    # stage 3: near-dup b-side drops
+    ids = sorted(sh)
+    dup_b = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh[a], sh[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter / (len(sa) + len(sb) - inter) >= jthr:
+                dup_b.add(b)
+
+    want = sorted(
+        (d, lang)
+        for d, (tk, lang) in docs.items()
+        if (round6_scalar(len(set(tk)) / len(tk)) if tk else 0.0) >= thr
+        and d % mod != 0
+        and d not in contaminated
+        and d not in dup_b
+    )
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in prep.corpus_prep(
+            sf_dir, q=q, n=n, eval_mod=mod, min_overlap=min_ov,
+            jaccard_threshold=jthr,
+        ).take_all()
+    )
+    assert got == want
+    assert 0 < len(got) < len(docs)  # the chain actually filters
