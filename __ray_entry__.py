@@ -454,6 +454,17 @@ def _q_decontaminate(sf_dir: str):
     return dedup.decontaminate(sf_dir, n=3, eval_mod=50, min_overlap=1)
 
 
+def _q_partitioned_write(sf_dir: str):
+    """Round-trip check: write hive-partitioned parquet, count rows
+    from the WRITTEN files; oracle counts the source table."""
+    import hashlib as _h
+
+    from engine import corpus
+
+    out = f"/tmp/graft_part_{_h.md5(sf_dir.encode()).hexdigest()[:8]}"
+    return corpus.write_partitioned(sf_dir, out, by="lang")
+
+
 def _q_corpus_prep(sf_dir: str):
     from engine import prep
 
@@ -565,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
         "corpus_prep": _q_corpus_prep,
+        "partitioned_write": _q_partitioned_write,
         "quantiles_lineitem": _q_quantiles,
         "broadcast_join_suppliers": _q_broadcast_join,
         "top_orders_per_customer": _q_top_orders_per_customer,
@@ -1127,6 +1139,10 @@ WHERE d.doc_id % 50 <> 0
         # the full curation chain replayed as one query (see
         # engine/prep.py for the stage semantics; every CTE below is a
         # component entry's own green oracle)
+        "partitioned_write": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY lang"
+        ),
         "corpus_prep": """
 WITH tok AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w

@@ -99,3 +99,43 @@ def read_corpus_from_documents(
         return pa.concat_tables(parts)
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def write_partitioned(
+    sf_dir: str, out_dir: str, by: str = "lang"
+) -> "ray.data.Dataset":
+    """Partitioned-parquet sink (the resumable-output layout): write
+    ``documents`` hive-partitioned by ``by`` (``out/lang=en/...``) and
+    return per-partition row counts READ BACK FROM THE WRITTEN FILES —
+    so the returned table verifies the round trip, not just the plan.
+
+    Ray's ``write_parquet(partition_cols=...)`` is shuffle-free: each
+    task splits ITS blocks by key and appends to the right directories,
+    so the write streams with backpressure and a failed run can be
+    retargeted per-partition.  ``out_dir`` is recreated from scratch
+    (parquet appends are not idempotent across retries of the whole
+    pipeline; per-partition reruns are).
+    """
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet").write_parquet(
+        out_dir, partition_cols=[by]
+    )
+
+    def norm(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                by: pc.cast(batch.column(by), pa.string()),
+                "n_docs": pc.cast(batch.column("count()"), pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(out_dir)
+        .groupby(by)
+        .count()
+        .map_batches(norm, batch_format="pyarrow")
+    )
