@@ -336,6 +336,18 @@ def _q_knn_lsh(sf_dir: str):
     return similarity.knn_lsh(sf_dir, k=5, n_queries=10, nbits=8, probe_hamming=3)
 
 
+def _q_knn_ivf_partitioned(sf_dir: str):
+    """Materialized IVF: cluster-partitioned parquet + probe-pruned
+    read.  Rows-only (identical to knn_ivf — pytest-pinned)."""
+    import hashlib as _h
+
+    from engine import similarity
+
+    idx = f"/tmp/graft_ivf_{_h.md5(sf_dir.encode()).hexdigest()[:8]}"
+    similarity.build_ivf_partitions(sf_dir, idx, nlist=16)
+    return similarity.knn_ivf_partitioned(sf_dir, idx, k=5, n_queries=10, nprobe=6)
+
+
 def _q_label_centroids(sf_dir: str):
     from engine import similarity
 
@@ -563,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "label_centroids": _q_label_centroids,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -237,6 +238,65 @@ def train_ivf_centroids(
     return cent
 
 
+def _ivf_score_batch(
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    prb: np.ndarray,
+    k: int,
+    ids: np.ndarray,
+    m: np.ndarray,
+    assign: np.ndarray,
+) -> pa.Table:
+    """Per-batch IVF partial top-k given precomputed cluster assignment
+    (shared by the in-pass-mask and partitioned serving paths)."""
+    out_q, out_v, out_s = [], [], []
+    for qi in range(len(qids)):
+        cand = np.nonzero(np.isin(assign, prb[qi]))[0]
+        if cand.size == 0:
+            continue
+        sims = round6(m[cand] @ qmat[qi])
+        kk = min(k, cand.size)
+        order = np.lexsort((ids[cand], -sims))[:kk]
+        out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+        out_v.append(ids[cand][order])
+        out_s.append(sims[order])
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine_r": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "cosine_r": pa.array(np.concatenate(out_s), pa.float64()),
+        }
+    )
+
+
+def _merge_topk(k: int):
+    def merge(group: pa.Table) -> pa.Table:
+        sims = group.column("cosine_r").to_numpy()
+        ids = group.column("vec_id").to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.full(n, group.column("query_id")[0].as_py(), np.int64), pa.int64()
+                ),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "cosine_r": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    return merge
+
+
 def knn_ivf(
     sf_dir: str,
     k: int = 5,
@@ -255,11 +315,11 @@ def knn_ivf(
 
     Scale notes: training is iters streaming passes (driver holds only
     nlist x dim floats); serving is one pass with per-batch cluster
-    masks.  On a real deployment the assignment would be precomputed
-    and the corpus PARTITIONED BY cluster id (write_parquet with
-    cluster dirs) so probes read only nprobe/nlist of the data — the
-    in-pass mask here computes the same candidate set without
-    re-materializing the corpus.
+    masks.  The MATERIALIZED form of the same index —
+    build_ivf_partitions + knn_ivf_partitioned — precomputes the
+    assignment into cluster-partitioned parquet so serving READS only
+    the probed nprobe/nlist fraction of the data; both paths are
+    pytest-pinned to produce identical results.
     """
     cent = train_ivf_centroids(sf_dir, nlist=nlist)
     q_ids, q_mat = _load_queries(sf_dir, n_queries)
@@ -279,53 +339,103 @@ def knn_ivf(
             )
         )
         assign = np.argmax(m @ c.T, axis=1)
-        out_q, out_v, out_s = [], [], []
-        for qi in range(len(qids)):
-            cand = np.nonzero(np.isin(assign, prb[qi]))[0]
-            if cand.size == 0:
-                continue
-            sims = round6(m[cand] @ qmat[qi])
-            kk = min(k, cand.size)
-            order = np.lexsort((ids[cand], -sims))[:kk]
-            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
-            out_v.append(ids[cand][order])
-            out_s.append(sims[order])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "cosine_r": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-                "cosine_r": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
-
-    def merge_topk(group: pa.Table) -> pa.Table:
-        sims = group.column("cosine_r").to_numpy()
-        ids = group.column("vec_id").to_numpy()
-        order = np.lexsort((ids, -sims))[:k]
-        n = len(order)
-        return pa.table(
-            {
-                "query_id": pa.array(
-                    np.full(n, group.column("query_id")[0].as_py(), np.int64), pa.int64()
-                ),
-                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
-                "vec_id": pa.array(ids[order], pa.int64()),
-                "cosine_r": pa.array(sims[order], pa.float64()),
-            }
-        )
+        return _ivf_score_batch(qids, qmat, prb, k, ids, m, assign)
 
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow")
         .groupby("query_id")
-        .map_groups(merge_topk, batch_format="pyarrow")
+        .map_groups(_merge_topk(k), batch_format="pyarrow")
+    )
+
+
+def build_ivf_partitions(
+    sf_dir: str, out_dir: str, nlist: int = 16
+) -> np.ndarray:
+    """Materialize the IVF index as cluster-partitioned parquet
+    (``out/cluster=3/...``): train centroids, assign every vector in
+    one streaming pass, hive-partition the write (shuffle-free — each
+    task splits its own blocks by key).  Centroids persist next to the
+    partitions so serving never retrains.  Returns the centroids.
+    """
+    import shutil
+
+    cent = train_ivf_centroids(sf_dir, nlist=nlist)
+    ref = ray.put(cent)
+
+    def assign_col(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalized(
+            np.vstack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        assign = np.argmax(m @ c.T, axis=1)
+        # "cluster" becomes the hive directory (dropped from file
+        # contents by partition_cols); "cluster_id" RIDES IN THE DATA
+        # so serving needs no partition-schema inference
+        return batch.append_column(
+            "cluster", pa.array(assign, pa.int64())
+        ).append_column("cluster_id", pa.array(assign, pa.int64()))
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # partitions live under parts/ so the dataset root holds ONLY
+    # parquet; centroids sit beside it
+    ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign_col, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/parts", partition_cols=["cluster"]
+    )
+    np.save(f"{out_dir}/centroids.npy", cent)
+    return cent
+
+
+def knn_ivf_partitioned(
+    sf_dir: str,
+    index_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    nprobe: int = 4,
+) -> "ray.data.Dataset":
+    """Serve IVF top-k from a build_ivf_partitions layout, reading ONLY
+    the probed clusters' directories — the read itself is pruned to
+    ~nprobe/nlist of the corpus, which is the scale payoff of
+    materializing the assignment.  Results are identical to knn_ivf
+    with the same centroids (pytest-pinned)."""
+    import os
+
+    cent = np.load(f"{index_dir}/centroids.npy")
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    needed = sorted({int(c) for c in probes.ravel()})
+    # path-level pruning: ONLY the probed clusters' directories are
+    # ever listed or read — the read fraction is ~nprobe/nlist
+    paths = [
+        f"{d}/{f}"
+        for c in needed
+        if os.path.isdir(d := f"{index_dir}/parts/cluster={c}")
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    ref = ray.put((q_ids, q_mat, probes))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat, prb = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy()
+        m = _normalized(
+            np.vstack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        assign = batch.column("cluster_id").to_numpy().astype(np.int64)
+        return _ivf_score_batch(qids, qmat, prb, k, ids, m, assign)
+
+    return (
+        ray.data.read_parquet(
+            paths, columns=["vec_id", "embedding", "cluster_id"]
+        )
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_merge_topk(k), batch_format="pyarrow")
     )
 
 

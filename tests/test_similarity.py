@@ -135,3 +135,27 @@ def test_label_centroids_vs_numpy(ray_session, sf_dir):
         for d in range(m.shape[1]):
             assert abs(got[(int(lab), d)] - mean[d]) < 1e-6, (lab, d)
     assert len(got) == len(np.unique(labels)) * m.shape[1]
+
+
+def test_ivf_partitioned_serving_identical(ray_session, sf_dir, tmp_path):
+    import os
+
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_partitions(sf_dir, idx, nlist=16)
+    # layout: parts/cluster=N dirs + persisted centroids
+    clusters = [d for d in os.listdir(f"{idx}/parts") if d.startswith("cluster=")]
+    assert len(clusters) >= 8
+    assert os.path.exists(f"{idx}/centroids.npy")
+    a = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_r"])
+        for r in similarity.knn_ivf_partitioned(
+            sf_dir, idx, k=5, n_queries=8, nprobe=6
+        ).take_all()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_r"])
+        for r in similarity.knn_ivf(
+            sf_dir, k=5, n_queries=8, nlist=16, nprobe=6
+        ).take_all()
+    )
+    assert a == b  # the materialized layout serves the same results
