@@ -533,6 +533,12 @@ def _q_simhash_pairs(sf_dir: str):
     return dedup.simhash_dup_pairs(sf_dir, max_hamming=3)
 
 
+def _q_json_field_stats(sf_dir: str):
+    from engine import relational
+
+    return relational.json_field_stats(sf_dir, field="k")
+
+
 def _q_window_tumbling(sf_dir: str):
     from engine import windows
 
@@ -597,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_orders": _q_range_join_orders,
         "distinct_users_per_event_type": _q_distinct_users_per_event_type,
         "customers_without_orders": _q_customers_without_orders,
+        "json_field_stats": _q_json_field_stats,
         "simhash_dup_pairs": _q_simhash_pairs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -1230,6 +1237,14 @@ FROM ranked WHERE rank <= 3
         "distinct_users_per_event_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        "json_field_stats": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+            "CAST(round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) "
+            "      / count(*), 6) AS DOUBLE) AS avg_k_r "
+            "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL "
+            "GROUP BY event_type"
         ),
         "customers_without_orders": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "

@@ -347,3 +347,64 @@ def top_orders_per_customer(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         .groupby("o_custkey")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def json_field_stats(sf_dir: str, field: str = "k") -> "ray.data.Dataset":
+    """Parse the events ``props`` JSON column and roll up the integer
+    ``field`` per event_type: (event_type, n, sum_k, avg_k_r).
+
+    Extraction is VECTORIZED via ``pc.extract_regex`` (no per-row
+    Python json.loads in the hot path); rows whose props lack an
+    integer ``field`` are skipped, matching the SQL oracle's
+    ``json_extract`` NULL semantics.  Combiner-first: per-batch
+    (event_type, n, sum) partials -> event-type-small groupby ->
+    finalize ratio with round6.
+    """
+    from .functions import round6
+
+    pat = f'"{field}":\\s*(?P<v>-?\\d+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et_col = batch.column("event_type")
+        et_col = et_col.combine_chunks() if et_col.num_chunks != 1 else et_col.chunk(0)
+        pr = batch.column("props")
+        pr = pr.combine_chunks() if pr.num_chunks != 1 else pr.chunk(0)
+        ext = pc.extract_regex(pr, pat)
+        ok = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+        vals = np.array(
+            [int(s) for s in pc.struct_field(ext, "v").drop_null().to_pylist()],
+            dtype=np.int64,
+        )
+        ets = np.asarray(et_col.to_pylist(), dtype=object)[ok]
+        uniq, inv = np.unique(ets, return_inverse=True)
+        return pa.table(
+            {
+                "event_type": pa.array(list(uniq), pa.string()),
+                "n": pa.array(np.bincount(inv), pa.int64()),
+                "s": pa.array(
+                    np.bincount(inv, weights=vals).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy()
+        s = batch.column("sum(s)").to_numpy()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(n, pa.int64()),
+                "sum_k": pa.array(s, pa.int64()),
+                "avg_k_r": pa.array(round6(s / n), pa.float64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n", "s"])
+        .map_batches(finalize, batch_format="pyarrow")
+    )

@@ -45,3 +45,30 @@ def test_asof_join_empty_side(ray_session):
 
     sf = "/root/testdata/sf0.001"
     assert asof_join_events(sf, "purchase", "zzz_no_such_type").count() == 0
+
+
+def test_json_field_stats_vs_duckdb(ray_session):
+    import duckdb
+
+    from engine.relational import json_field_stats
+
+    sf = "/root/testdata/sf0.01"
+    got = sorted(
+        (r["event_type"], r["n"], r["sum_k"], r["avg_k_r"])
+        for r in json_field_stats(sf, field="k").take_all()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(
+            f"""SELECT event_type, count(*),
+                  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+                  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                        / count(*), 6)
+                FROM read_parquet('{sf}/events.parquet')
+                WHERE json_extract_string(props, '$.k') IS NOT NULL
+                GROUP BY event_type"""
+        )
+        .fetchall()
+    )
+    assert got == want
