@@ -533,6 +533,18 @@ def _q_simhash_pairs(sf_dir: str):
     return dedup.simhash_dup_pairs(sf_dir, max_hamming=3)
 
 
+def _q_chunk_documents(sf_dir: str):
+    from engine import chunking
+
+    return chunking.chunk_documents(sf_dir, size=32, stride=16)
+
+
+def _q_pack_sequences(sf_dir: str):
+    from engine import chunking
+
+    return chunking.pack_sequences(sf_dir, budget=256, num_buckets=8)
+
+
 def _q_json_field_stats(sf_dir: str):
     from engine import relational
 
@@ -604,6 +616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_event_type": _q_distinct_users_per_event_type,
         "customers_without_orders": _q_customers_without_orders,
         "json_field_stats": _q_json_field_stats,
+        "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
         "simhash_dup_pairs": _q_simhash_pairs,
         "window_tumbling": _q_window_tumbling,
         "window_sliding": _q_window_sliding,
@@ -1238,6 +1252,35 @@ FROM ranked WHERE rank <= 3
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"
         ),
+        "chunk_documents": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+st AS (
+  SELECT doc_id, w, unnest(range(0, len(w), 16)) AS s FROM tok WHERE len(w) > 0
+)
+SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_id,
+       CAST(least(32, len(w) - s) AS BIGINT) AS n_tokens,
+       array_to_string(w[s+1 : least(s+32, len(w))], ' ') AS chunk_text
+FROM st
+""",
+        "pack_sequences": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, len(w) AS doc_len FROM tok),
+pre AS (
+  SELECT doc_id, doc_len,
+         coalesce(sum(doc_len) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM dl
+)
+SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len,
+       CAST(o AS BIGINT) AS tok_offset, CAST(o // 256 AS BIGINT) AS seq_id
+FROM pre
+""",
         "json_field_stats": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
             "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
