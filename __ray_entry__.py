@@ -175,6 +175,37 @@ def _q_bm25_and_nostem(sf_dir: str):
     )
 
 
+_NOT_QUERIES = [
+    {"query_id": 0, "text": "join hash -merge", "k": 10},
+    {"query_id": 1, "text": "scan filter batch -customer -window", "k": 10},
+    {"query_id": 2, "text": "customer order data row -zzz_oov", "k": 10},
+    {"query_id": 3, "text": "merge -the", "k": 10},
+]
+
+
+def _q_bm25_not_nostem(sf_dir: str):
+    """Boolean-NOT BM25 ('-term' excludes docs containing the term),
+    simple analyzer; rank identity vs refimpl pytest-verified."""
+    from engine.query import run_queries
+
+    out = _build_simple_index(sf_dir)
+    res = run_queries(out, _NOT_QUERIES, match="not", concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 _PHRASE_QUERIES = [
     {"query_id": 0, "text": "the data", "k": 10},
     {"query_id": 1, "text": "a model is", "k": 10},
@@ -580,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_stats": _q_collection_stats,
         "bm25_topk_nostem": _q_bm25_topk_nostem,
         "bm25_and_nostem": _q_bm25_and_nostem,
+        "bm25_not_nostem": _q_bm25_not_nostem,
         "bm25_phrase_nostem": _q_bm25_phrase_nostem,
         "verify_invariant": _q_verify_invariant,
         "groupby_lineitem": _q_groupby_lineitem,
@@ -677,6 +709,65 @@ ranked AS (
          row_number() OVER (PARTITION BY scores.query_id
                             ORDER BY score DESC, doc_id) AS rank
   FROM scores {and_filter}
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(round(score, 4) AS DOUBLE) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _bm25_not_sql() -> str:
+    """Boolean-NOT oracle: the standard BM25 CTE, minus every
+    (query, doc) where the doc contains ANY of the query's '-'-terms.
+    Sign parsing mirrors engine.analysis.split_signed at SQL-build
+    time (the term lists are baked into VALUES)."""
+    from engine.analysis import split_signed
+
+    pvals, nvals = [], []
+    for q in _NOT_QUERIES:
+        pos_text, neg_text = split_signed(q["text"])
+        for vals, txt in ((pvals, pos_text), (nvals, neg_text)):
+            seen = []
+            for t in txt.split(" "):
+                t = t.lower()
+                if t and t not in seen:
+                    seen.append(t)
+            for t in seen:
+                vals.append(f"({q['query_id']}, '{t}')")
+    pvalues = ", ".join(pvals)
+    nvalues = ", ".join(nvals)
+    return f"""
+WITH tok2 AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {pvalues}),
+nq(query_id, term) AS (VALUES {nvalues}),
+ex AS (SELECT DISTINCT nq.query_id, tf.doc_id FROM nq JOIN tf ON nq.term = tf.term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON q.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score DESC, sc.doc_id) AS rank
+  FROM scores sc
+  LEFT JOIN ex ON ex.query_id = sc.query_id AND ex.doc_id = sc.doc_id
+  WHERE ex.doc_id IS NULL
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
@@ -976,6 +1067,7 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
         ),
         "bm25_topk_nostem": _bm25_sql(),
         "bm25_and_nostem": _bm25_sql(conjunctive=True),
+        "bm25_not_nostem": _bm25_not_sql(),
         "bm25_phrase_nostem": _phrase_sql(),
         "more_like_this": _more_like_this_sql(),
         "groupby_lineitem": (

@@ -232,6 +232,21 @@ def tokenize_simple(text: str) -> list[str]:
     return [t.lower() for t in text.split(" ") if t]
 
 
+def split_signed(text: str) -> tuple[str, str]:
+    """Boolean-NOT query syntax (M8): whitespace tokens starting with
+    '-' are exclusions.  Returns (positive_text, negative_text), each a
+    space-joined remainder fed to the normal analyzer afterwards, so
+    NOT parsing stays analyzer-independent and refimpl / SQL oracles
+    can replay it exactly.  A bare '-' is kept as positive text."""
+    pos, neg = [], []
+    for w in text.split():
+        if len(w) > 1 and w.startswith("-"):
+            neg.append(w[1:])
+        else:
+            pos.append(w)
+    return " ".join(pos), " ".join(neg)
+
+
 class Analyzer:
     """Named analyzer chain: tokenize [-> stem], with a per-instance
     term->stem memo (A2: per-actor cache; corpus vocab is Zipf so the

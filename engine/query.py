@@ -194,10 +194,19 @@ class IndexReader:
 
         ``match``: "any" (disjunctive BM25), "all" (conjunctive — every
         term must occur, Q2), "phrase" (exact contiguous sequence over
-        the positional index).
+        the positional index), "not" ('-term' tokens in the query text
+        exclude docs containing that term; scoring is disjunctive over
+        the unsigned terms — analysis.split_signed syntax).
         """
         seg = self.segment(seg_id)
-        if match == "all":
+        if match == "not":
+            pos_text, neg_text = analysis.split_signed(text)
+            qt = self.qterms(pos_text)
+            if not qt:
+                return []
+            neg = analyze_query(self.analyzer, neg_text)
+            hits = wand.not_topk(seg, qt, neg, k, self.avg_doc_len)
+        elif match == "all":
             qt = self.qterms_strict(text)
             if qt is None or not qt:
                 return []

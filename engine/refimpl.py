@@ -102,6 +102,29 @@ class RefIndex:
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
 
+    def topk_not(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Boolean NOT: '-term' tokens exclude every doc containing
+        that term; scoring is disjunctive BM25 over the unsigned terms
+        in analyzed order (engine.analysis.split_signed syntax)."""
+        pos_text, neg_text = analysis.split_signed(text)
+        banned: set[int] = set()
+        for t in self.analyze_query(neg_text):
+            banned.update(did for did, _ in self.postings.get(t, ()))
+        scores: dict[int, float] = {}
+        for t in self.analyze_query(pos_text):
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            idf_t = bm25.idf(len(plist), self.num_docs)
+            for did, tf in plist:
+                if did in banned:
+                    continue
+                scores[did] = scores.get(did, 0.0) + idf_t * bm25.tf_part(
+                    float(tf), float(self.doc_len[did]), self.avg_doc_len
+                )
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+        return ranked[:k]
+
     def _score_docs(self, terms: list[str], docs: set[int]) -> list[tuple[int, float]]:
         """BM25-score the given docs over ``terms`` (analyzed order)."""
         scores = {d: 0.0 for d in docs}

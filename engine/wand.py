@@ -322,6 +322,26 @@ def phrase_topk(seg: Segment, seq: list[str], qterms: list[tuple[str, float]],
 AUTO_EXHAUSTIVE_FRAC = 0.02  # Σ local df / num_docs above which pruning can't win
 
 
+def not_topk(seg: Segment, qterms: list[tuple[str, float]],
+             neg_terms: list[str], k: int,
+             avg_doc_len: float) -> list[tuple[int, float]]:
+    """Disjunctive BM25 over ``qterms`` excluding every doc containing
+    ANY of ``neg_terms`` (boolean NOT).  The exclusion set is the union
+    of the negative terms' posting offsets, applied before the top-k
+    cut.  Policy: always the vectorized exhaustive path — negation
+    typically strikes Zipf-head terms, exactly where WAND loses (see
+    auto_topk's rationale)."""
+    excl = []
+    for t in neg_terms:
+        row = seg.term_idx.get(t)
+        if row is not None:
+            ords, _ = seg.decode_idx_cached(row)
+            if ords.size:
+                excl.append(ords)
+    ex = np.unique(np.concatenate(excl)) if excl else None
+    return exhaustive_topk(seg, qterms, k, avg_doc_len, exclude=ex)
+
+
 def auto_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
               avg_doc_len: float) -> list[tuple[int, float]]:
     """Adaptive scoring policy: block-max WAND prunes per-posting in
@@ -342,11 +362,15 @@ def auto_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
 
 
 def exhaustive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
-                    avg_doc_len: float) -> list[tuple[int, float]]:
+                    avg_doc_len: float,
+                    exclude: "np.ndarray | None" = None) -> list[tuple[int, float]]:
     """Q4 in-segment: vectorized disjunctive scoring of every matching
     doc; numpy elementwise ops mirror bm25.tf_part's scalar op order
     exactly, and per-doc accumulation happens in query-term order, so
-    scores are bit-identical to the scalar paths."""
+    scores are bit-identical to the scalar paths.
+
+    ``exclude``: doc OFFSETS (segment-local) to drop from candidacy
+    BEFORE the top-k cut (boolean NOT support), so ranks stay exact."""
     n = seg.num_docs
     if n == 0:
         return []
@@ -366,6 +390,8 @@ def exhaustive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
                          (tf + bm25.K1 * (1.0 - bm25.B + bm25.B * (d / avg_doc_len))))
         scores[ords] += contrib
         touched[ords] = True
+    if exclude is not None and exclude.size:
+        touched[exclude] = False
     cand = np.nonzero(touched)[0]
     if cand.size == 0:
         return []

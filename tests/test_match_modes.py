@@ -32,6 +32,48 @@ def test_conjunctive_oov_term_empties(built_index):
     assert built_index["ref"].topk_and("import zzzznotfound", 10) == []
 
 
+def _signed_queries(queries, rows):
+    """Fixture queries with exclusions appended: each query bans a
+    token drawn from another query plus one OOV term (no-op ban)."""
+    texts = [q["text"] for q in queries]
+    out = []
+    for i, q in enumerate(queries):
+        other = texts[(i + 1) % len(texts)].split()[0]
+        out.append((f"{q['text']} -{other}", q["k"]))
+        out.append((f"{q['text']} -zzz_oov", q["k"]))
+    # ban a term from the query's own positive set (partial overlap)
+    first = texts[0].split()
+    if len(first) >= 2:
+        out.append((f"{texts[0]} -{first[-1]}", 10))
+    return out
+
+
+def test_not_rank_identity(built_index):
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    n_nonempty = 0
+    for text, k in _signed_queries(built_index["queries"], built_index["rows"]):
+        want = ref.topk_not(text, k)
+        got = _pairs(rd.search(text, k, match="not"))
+        _assert_same(got, want, text)
+        n_nonempty += bool(want)
+    assert n_nonempty >= 3
+
+
+def test_not_excludes_banned_docs(built_index):
+    """No result doc may contain a banned term."""
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    q = built_index["queries"][0]["text"]
+    ban = built_index["queries"][1]["text"].split()[0]
+    res = rd.search(f"{q} -{ban}", 50, match="not")
+    banned_docs = {d for d, _ in ref.postings.get(
+        ref.analyze_query(ban)[0], ())} if ref.analyze_query(ban) else set()
+    assert res  # fixture sanity: query still matches something
+    for r in res:
+        assert r["doc_id"] not in banned_docs
+
+
 def _phrase_queries(rows):
     """Real 2-4 token sequences lifted from fixture docs + negatives."""
     out = []
