@@ -355,6 +355,13 @@ def _q_embedding_dups(sf_dir: str):
     return dedup.embedding_dup_pairs(sf_dir, threshold=0.4)
 
 
+def _q_embedding_dedup_keep(sf_dir: str):
+    # Same 0.4 threshold rationale as embedding_dup_pairs above.
+    from engine import dedup
+
+    return dedup.embedding_dedup_keep(sf_dir, threshold=0.4)
+
+
 def _q_knn_bruteforce(sf_dir: str):
     from engine import similarity
 
@@ -398,6 +405,12 @@ def _q_token_counts(sf_dir: str):
     from engine import textanalysis
 
     return textanalysis.token_counts(sf_dir)
+
+
+def _q_lm_doc_scores(sf_dir: str):
+    from engine import textanalysis
+
+    return textanalysis.lm_doc_scores(sf_dir)
 
 
 def _q_quality_scores(sf_dir: str):
@@ -622,12 +635,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "embedding_dup_pairs": _q_embedding_dups,
+        "embedding_dedup_keep": _q_embedding_dedup_keep,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "label_centroids": _q_label_centroids,
         "token_counts": _q_token_counts,
+        "lm_doc_scores": _q_lm_doc_scores,
         "quality_scores": _q_quality_scores,
         "language_id": _q_language_id,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -1124,6 +1139,16 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
 """,
+        "embedding_dedup_keep": """
+SELECT CAST(b.vec_id AS BIGINT) AS vec_id
+FROM embeddings b
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings a
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+)
+""",
         "label_centroids": """
 SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
        CAST(round(avg(v), 6) AS DOUBLE) AS mean_r
@@ -1155,6 +1180,23 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n]')) AS BIGINT)
     AS n_re_tokens
 FROM documents
+""",
+        "lm_doc_scores": f"""
+WITH tok2 AS ({_TOK2}),
+cf AS (SELECT term, count(*) AS cf FROM tok2 GROUP BY term),
+total AS (SELECT CAST(sum(cf) AS BIGINT) AS t FROM cf),
+lp AS (
+  SELECT term,
+         CAST(round(ln(cf * 1.0 / total.t) * 1000000) AS BIGINT) AS micro
+  FROM cf, total
+)
+SELECT CAST(tok2.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS doc_len,
+       CAST(sum(lp.micro) AS BIGINT) AS lm_sum_micro,
+       CAST(round(sum(lp.micro) / 1000000.0 / count(*), 6) AS DOUBLE)
+         AS lm_mean_r
+FROM tok2 JOIN lp ON tok2.term = lp.term
+GROUP BY tok2.doc_id
 """,
         "quality_scores": """
 WITH t AS (

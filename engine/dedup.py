@@ -749,3 +749,55 @@ def embedding_dup_pairs(
     return pairs.groupby(["a", "b"]).min("cosine_r").map_batches(
         lambda b: b.rename_columns(["a", "b", "cosine_r"]), batch_format="pyarrow"
     )
+
+
+def embedding_dedup_keep(
+    sf_dir: str, threshold: float = 0.95, method: str = "lsh"
+) -> "ray.data.Dataset":
+    """Semantic near-dup REMOVAL (the SemDeDup-shaped step): vector b
+    is dropped iff SOME a < b has cosine(a, b) >= threshold.
+
+    The drop rule is pairwise-local ("any earlier neighbor"), not
+    greedy-transitive, so it decomposes into the already-bucketed
+    near-dup pair op plus one NARROW exchange: embedding_dup_pairs
+    (LSH band buckets + in-bucket exact verify) -> b-side ids tagged
+    dup=1, unioned with every vec_id tagged dup=0 ->
+    groupby(vec_id).max(dup) -> survivors are max==0.  The shuffle
+    moves only (vec_id, int8) rows; embeddings never re-shuffle.
+
+    Output: (vec_id,) — the kept vectors.
+    """
+    pairs = embedding_dup_pairs(sf_dir, threshold=threshold, method=method)
+
+    def as_dup(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t.column("b").cast(pa.int64()),
+                "dup": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    def as_src(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "dup": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    dups = pairs.select_columns(["b"]).map_batches(as_dup, batch_format="pyarrow")
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(as_src, batch_format="pyarrow")
+
+    def keep(t: pa.Table) -> pa.Table:
+        col = t.column("max(dup)")
+        m = pc.equal(col, pa.scalar(0, col.type))
+        return t.filter(m).select(["vec_id"])
+
+    return (
+        ids.union(dups)
+        .groupby("vec_id")
+        .max("dup")
+        .map_batches(keep, batch_format="pyarrow")
+    )

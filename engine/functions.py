@@ -22,6 +22,23 @@ def round6_scalar(x: float) -> float:
     return float(round6(x))
 
 
+def round6_signed(x):
+    """Half-AWAY-FROM-ZERO 6-dp rounding (scalar or ndarray) — what
+    DuckDB's ``round(x, 6)`` does for NEGATIVE values too; ``round6``
+    above is only correct for non-negative inputs."""
+    v = np.asarray(x, dtype=np.float64)
+    return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+
+def micro_signed(x) -> np.ndarray:
+    """Scale by 1e6 and round half-away-from-zero to int64 — matches
+    DuckDB ``CAST(round(x * 1000000) AS BIGINT)``.  Used to carry
+    per-token log-probabilities as exact integers so their SUM is
+    order-independent across engines."""
+    v = np.asarray(x, dtype=np.float64)
+    return (np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)).astype(np.int64)
+
+
 FNV_OFFSET = 0xCBF29CE484222325
 FNV_PRIME = 0x100000001B3
 

@@ -184,3 +184,74 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(fn, batch_format="pyarrow")
+
+
+def lm_doc_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc unigram language-model score — the classic
+    perplexity-style quality signal for training-data filtering: each
+    token contributes ln(cf(token)/total_tokens) (corpus-MLE unigram
+    log-prob), summed per doc.
+
+    Cross-engine float determinism: each DISTINCT term's log-prob is
+    computed ONCE with math.log over an exact int ratio (libm —
+    bit-equal to DuckDB's ``ln``) and immediately quantized to integer
+    MICROS (functions.micro_signed == ``CAST(round(x*1e6) AS
+    BIGINT)``), so the per-doc sum is an integer sum — exact and
+    order-independent no matter how either engine schedules it.
+
+    Broadcast pattern (same Zipf-bound justification as
+    tfidf_top_terms): phase 1 = the (term, cf) vocabulary table +
+    total token count; phase 2 = ONE streaming corpus pass with
+    dictionary-encoded token lookup (per-DISTINCT-term, not per-token).
+    Docs with zero tokens emit nothing (no LM score; matches the SQL
+    join semantics).
+
+    Output: (doc_id, doc_len, lm_sum_micro, lm_mean_r).
+    """
+    import math
+
+    from .functions import micro_signed, round6_signed
+    from .textstats import _split_lower, term_stats
+
+    import ray
+
+    cf_rows = term_stats(sf_dir).select_columns(["term", "cf"]).take_all()
+    total = sum(int(r["cf"]) for r in cf_rows)
+    lp = {
+        r["term"]: int(micro_signed(math.log(int(r["cf"]) / total)))
+        for r in cf_rows
+    }
+    ref = ray.put(lp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc_rep, _, flat = _split_lower(batch)
+        lpm = ray.get(ref)
+        n = batch.num_rows
+        doc_len = np.bincount(doc_rep, minlength=n).astype(np.int64)
+        enc = flat.dictionary_encode()
+        lut = np.fromiter(
+            (lpm[t] for t in enc.dictionary.to_pylist()),
+            dtype=np.int64,
+            count=len(enc.dictionary),
+        )
+        tok_micro = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        # int64 micros fit float64 exactly far beyond any doc length
+        sums = np.bincount(doc_rep, weights=tok_micro, minlength=n).astype(np.int64)
+        mask = doc_len > 0
+        ids = batch.column("doc_id").to_numpy()[mask]
+        dl = doc_len[mask]
+        s = sums[mask]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "doc_len": pa.array(dl, pa.int64()),
+                "lm_sum_micro": pa.array(s, pa.int64()),
+                "lm_mean_r": pa.array(
+                    round6_signed(s / 1e6 / dl), pa.float64()
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(score, batch_format="pyarrow")

@@ -223,3 +223,33 @@ def test_decontaminate_vs_local_oracle(ray_session, sf_dir):
     }
     assert got == want
     assert any(c for _, c in got.values())  # the check is non-vacuous
+
+
+def test_embedding_dedup_keep_vs_numpy(ray_session, sf_dir):
+    """Kept set == {b : no a<b with cosine(a,b) >= thr}, computed by a
+    local numpy all-pairs oracle."""
+    import pyarrow.parquet as pq
+
+    thr = 0.4
+    got = sorted(
+        r["vec_id"] for r in dedup.embedding_dedup_keep(sf_dir, threshold=thr).take_all()
+    )
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    sims = m @ m.T
+    order = np.argsort(ids)
+    want = []
+    for pos_b in order:
+        dup = any(
+            sims[pos_a, pos_b] >= thr
+            for pos_a in order
+            if ids[pos_a] < ids[pos_b]
+        )
+        if not dup:
+            want.append(int(ids[pos_b]))
+    assert got == sorted(want)
+    assert len(got) < len(ids)  # non-vacuous: something was dropped

@@ -59,3 +59,42 @@ def test_fingerprints_md5_and_winnow(ray_session, sf_dir):
     for ids in by_text.values():
         if len(ids) > 1:
             assert len({got[d][1] for d in ids}) == 1
+
+
+def test_lm_doc_scores_vs_python(ray_session, sf_dir):
+    """Differential vs a pure-python unigram-LM implementation using
+    the same quantize-log-probs-to-micros scheme."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    got = {
+        r["doc_id"]: (r["doc_len"], r["lm_sum_micro"], r["lm_mean_r"])
+        for r in textanalysis.lm_doc_scores(sf_dir).take_all()
+    }
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        did: [w.lower() for w in text.split(" ") if w]
+        for did, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        )
+    }
+    cf = Counter(tok for toks in docs.values() for tok in toks)
+    total = sum(cf.values())
+
+    def micro(x):
+        return int(math.copysign(math.floor(abs(x) * 1e6 + 0.5), x))
+
+    lp = {term: micro(math.log(c / total)) for term, c in cf.items()}
+    for did, toks in docs.items():
+        if not toks:
+            assert did not in got
+            continue
+        s = sum(lp[tok] for tok in toks)
+        dl, sm, mean_r = got[did]
+        assert dl == len(toks)
+        assert sm == s
+        want_mean = s / 1e6 / len(toks)
+        assert abs(mean_r - want_mean) < 1.5e-6
+    assert len(got) == sum(1 for toks in docs.values() if toks)
