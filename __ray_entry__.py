@@ -333,6 +333,12 @@ def _q_ngram_jaccard(sf_dir: str):
     return dedup.ngram_jaccard_pairs(sf_dir, n=3, threshold=0.5)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    from engine import dedup
+
+    return dedup.dedup_clusters(sf_dir, n=3, threshold=0.5)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from engine import dedup
 
@@ -632,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_customer_orders": _q_join_customer_orders,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -1129,6 +1136,41 @@ FROM inter
 JOIN cnt ca ON inter.a = ca.doc_id
 JOIN cnt cb ON inter.b = cb.doc_id
 WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.5
+""",
+        "dedup_clusters": """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tk FROM tok
+),
+sh AS (
+  SELECT DISTINCT t1.doc_id, t1.tk || ' ' || t2.tk || ' ' || t3.tk AS s
+  FROM tokpos t1
+  JOIN tokpos t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+  JOIN tokpos t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT inter.a, inter.b FROM inter
+  JOIN cnt ca ON inter.a = ca.doc_id
+  JOIN cnt cb ON inter.b = cb.doc_id
+  WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
 """,
         "embedding_dup_pairs": """
 SELECT a.vec_id AS a, b.vec_id AS b,

@@ -801,3 +801,93 @@ def embedding_dedup_keep(
         .max("dup")
         .map_batches(keep, batch_format="pyarrow")
     )
+
+
+def dedup_clusters(
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_rounds: int = 30,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Duplicate-cluster resolution: connected components over the
+    near-dup pair graph via distributed min-label propagation.  This is
+    the step that follows pair generation in a real dedup pipeline
+    (pairs -> clusters -> keep one representative per cluster).
+
+    Output: (doc_id, cluster_id) for every doc appearing in >=1
+    near-dup pair, cluster_id = min doc_id reachable through pairs.
+    Docs with no near-dup are implicitly singleton clusters (attaching
+    them is a stateless corpus map with a broadcast of this — small —
+    table; deliberately not done here so the op's exchange stays
+    pair-graph-sized).
+
+    Scale shape: every round is edge-table-sized — one hash JOIN of
+    the (node, label) table onto the edge list plus one groupby-min;
+    nothing is corpus-sized and nothing reaches the driver except the
+    O(1) convergence aggregate (sum of labels, strictly decreasing
+    until fixpoint).  Round count = pair-graph diameter (near-dup
+    clusters are clique-ish, so 1-3 rounds in practice), bounded by
+    ``max_rounds``.  The edge list is materialized once and
+    re-streamed each round; the label table is materialized per round
+    so rounds don't re-execute their predecessors.
+    """
+    pairs = ngram_jaccard_pairs(sf_dir, n=n, threshold=threshold)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+    )
+    if edges.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    # Seed label(u) = min(u, min neighbor) — a free first half-round.
+    def seed(t: pa.Table) -> pa.Table:
+        lab = pc.min_element_wise(t.column("u"), t.column("min(v)"))
+        return pa.table({"node": t.column("u"), "label": lab})
+
+    labels = (
+        edges.groupby("u").min("v").map_batches(seed, batch_format="pyarrow").materialize()
+    )
+
+    def msg(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("v"), "label": t.column("label")})
+
+    def rename_min(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"), "label": t.column("min(label)")})
+
+    prev = labels.sum("label")
+    for _ in range(max_rounds):
+        msgs = edges.join(
+            labels,
+            "inner",
+            num_partitions=num_partitions,
+            on=("u",),
+            right_on=("node",),
+        ).map_batches(msg, batch_format="pyarrow")
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .min("label")
+            .map_batches(rename_min, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = labels.sum("label")
+        if cur == prev:
+            break
+        prev = cur
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("node"), "cluster_id": t.column("label")})
+
+    return labels.map_batches(finish, batch_format="pyarrow")

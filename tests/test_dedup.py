@@ -253,3 +253,45 @@ def test_embedding_dedup_keep_vs_numpy(ray_session, sf_dir):
             want.append(int(ids[pos_b]))
     assert got == sorted(want)
     assert len(got) < len(ids)  # non-vacuous: something was dropped
+
+
+def test_dedup_clusters_vs_union_find(ray_session, sf_dir):
+    """Distributed min-label propagation == a local union-find over the
+    same (locally recomputed) jaccard pair graph."""
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(sf_dir, n=3, threshold=0.5).take_all()
+    }
+    sh = _local_shingles(sf_dir, 3)
+    ids = sorted(sh)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    in_pair = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh[a], sh[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.5:
+                union(a, b)
+                in_pair.add(a)
+                in_pair.add(b)
+    want = {d: find(d) for d in in_pair}
+    assert got == want
+    assert any(v != k for k, v in got.items())  # non-vacuous
+    # at least one cluster of size >= 3 so propagation past the seed ran
+    from collections import Counter
+
+    assert Counter(got.values()).most_common(1)[0][1] >= 3
