@@ -419,6 +419,12 @@ def _q_lm_doc_scores(sf_dir: str):
     return textanalysis.lm_doc_scores(sf_dir)
 
 
+def _q_repetition_scores(sf_dir: str):
+    from engine import textanalysis
+
+    return textanalysis.repetition_scores(sf_dir)
+
+
 def _q_quality_scores(sf_dir: str):
     from engine import textanalysis
 
@@ -650,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "token_counts": _q_token_counts,
         "lm_doc_scores": _q_lm_doc_scores,
+        "repetition_scores": _q_repetition_scores,
         "quality_scores": _q_quality_scores,
         "language_id": _q_language_id,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -1239,6 +1246,30 @@ SELECT CAST(tok2.doc_id AS BIGINT) AS doc_id,
          AS lm_mean_r
 FROM tok2 JOIN lp ON tok2.term = lp.term
 GROUP BY tok2.doc_id
+""",
+        "repetition_scores": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tk FROM tok
+),
+bg AS (
+  SELECT t1.doc_id, t1.tk || ' ' || t2.tk AS g
+  FROM tokpos t1 JOIN tokpos t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bstat AS (
+  SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot,
+         count(*) AS distinct_g
+  FROM bgc GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(round(mx * 1.0 / tot, 6), 0.0) AS DOUBLE) AS top2gram_frac,
+  CAST(COALESCE(round(1.0 - distinct_g * 1.0 / tot, 6), 0.0) AS DOUBLE)
+    AS dup_gram_frac
+FROM documents d LEFT JOIN bstat ON d.doc_id = bstat.doc_id
 """,
         "quality_scores": """
 WITH t AS (

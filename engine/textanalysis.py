@@ -255,3 +255,73 @@ def lm_doc_scores(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(score, batch_format="pyarrow")
+
+
+def repetition_scores(sf_dir: str, dup_w: int = 2) -> "ray.data.Dataset":
+    """Gopher-style repetition quality signals per document — the
+    filters a training-data pipeline applies before (or alongside)
+    dedup: heavily self-repetitive docs are low-quality even when not
+    duplicated corpus-wide.
+
+    - ``top2gram_frac``: occurrences of the doc's most frequent token
+      bigram / total bigram occurrences.
+    - ``dup_gram_frac``: fraction of ``dup_w``-gram occurrences that
+      are repeats, i.e. 1 - distinct/total (Gopher uses windows 2-4;
+      default 2 — wider windows are vacuously 0 on short docs).
+
+    Docs with fewer grams than the window get 0.0 (matches the SQL
+    LEFT JOIN + COALESCE).  Stateless one-pass map_batches, no
+    shuffle; gram counting is numpy (dictionary-encode tokens once,
+    then row-wise unique over code windows — no string n-gram
+    materialization, no hash collisions).
+
+    Output: (doc_id, top2gram_frac, dup_gram_frac).
+    """
+    from .textstats import _split_lower
+
+    def _doc_grams(doc_rep: np.ndarray, codes: np.ndarray, w: int):
+        """Rows (doc, c_0..c_{w-1}) for every in-doc window of width w."""
+        m = len(codes) - w + 1
+        if m <= 0:
+            return np.empty((0, w + 1), np.int64)
+        cols = [doc_rep[: len(doc_rep) - w + 1]]
+        cols += [codes[i : m + i] for i in range(w)]
+        rows = np.column_stack(cols)
+        return rows[rows[:, 0] == doc_rep[w - 1 :]]  # window stays in one doc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_rep, _, flat = _split_lower(batch)
+        n = batch.num_rows
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        top2 = np.zeros(n, np.float64)
+        g2 = _doc_grams(doc_rep, codes, 2)
+        if len(g2):
+            uniq, counts = np.unique(g2, axis=0, return_counts=True)
+            mx = np.zeros(n, np.int64)
+            np.maximum.at(mx, uniq[:, 0], counts)
+            tot = np.bincount(g2[:, 0], minlength=n)
+            has = tot > 0
+            top2[has] = mx[has] / tot[has]
+
+        dupf = np.zeros(n, np.float64)
+        gd = _doc_grams(doc_rep, codes, dup_w)
+        if len(gd):
+            uniqd = np.unique(gd, axis=0)
+            distinct = np.bincount(uniqd[:, 0], minlength=n)
+            totd = np.bincount(gd[:, 0], minlength=n)
+            has = totd > 0
+            dupf[has] = 1.0 - distinct[has] / totd[has]
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "top2gram_frac": pa.array(round6(top2), pa.float64()),
+                "dup_gram_frac": pa.array(round6(dupf), pa.float64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")

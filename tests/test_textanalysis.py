@@ -98,3 +98,29 @@ def test_lm_doc_scores_vs_python(ray_session, sf_dir):
         want_mean = s / 1e6 / len(toks)
         assert abs(mean_r - want_mean) < 1.5e-6
     assert len(got) == sum(1 for toks in docs.values() if toks)
+
+
+def test_repetition_scores_vs_python(ray_session, sf_dir):
+    """Differential vs a pure-python bigram counter."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    got = {
+        r["doc_id"]: (r["top2gram_frac"], r["dup_gram_frac"])
+        for r in textanalysis.repetition_scores(sf_dir).take_all()
+    }
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    nonzero_dup = 0
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = [w.lower() for w in text.split(" ") if w]
+        grams = Counter(zip(toks, toks[1:]))
+        if not grams:
+            assert got[did] == (0.0, 0.0)
+            continue
+        tot = sum(grams.values())
+        top, dup = got[did]
+        assert abs(top - max(grams.values()) / tot) < 1.5e-6, did
+        assert abs(dup - (1.0 - len(grams) / tot)) < 1.5e-6, did
+        nonzero_dup += dup > 0
+    assert nonzero_dup > 100  # non-vacuous on this corpus
