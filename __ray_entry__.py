@@ -425,6 +425,15 @@ def _q_repetition_scores(sf_dir: str):
     return textanalysis.repetition_scores(sf_dir)
 
 
+_SPELL_QTERMS = ["tabel", "jion", "qury", "streem", "windoow", "hash", "zzzzzz"]
+
+
+def _q_spell_suggest(sf_dir: str):
+    from engine import spell
+
+    return spell.spell_suggest(sf_dir, _SPELL_QTERMS, max_dist=2)
+
+
 def _q_quality_scores(sf_dir: str):
     from engine import textanalysis
 
@@ -657,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "lm_doc_scores": _q_lm_doc_scores,
         "repetition_scores": _q_repetition_scores,
+        "spell_suggest": _q_spell_suggest,
         "quality_scores": _q_quality_scores,
         "language_id": _q_language_id,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -1246,6 +1256,25 @@ SELECT CAST(tok2.doc_id AS BIGINT) AS doc_id,
          AS lm_mean_r
 FROM tok2 JOIN lp ON tok2.term = lp.term
 GROUP BY tok2.doc_id
+""",
+        "spell_suggest": f"""
+WITH vocab AS (SELECT term, count(*) AS cf FROM ({_TOK2}) GROUP BY term),
+q(qterm) AS (VALUES {", ".join(f"('{t}')" for t in _SPELL_QTERMS)}),
+cand AS (
+  SELECT q.qterm, v.term AS suggestion,
+         levenshtein(q.qterm, v.term) AS distance, v.cf
+  FROM q CROSS JOIN vocab v
+  WHERE levenshtein(q.qterm, v.term) <= 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qterm ORDER BY distance, cf DESC, suggestion
+  ) AS rn
+  FROM cand
+)
+SELECT qterm, suggestion, CAST(distance AS BIGINT) AS distance,
+       CAST(cf AS BIGINT) AS cf
+FROM ranked WHERE rn = 1
 """,
         "repetition_scores": """
 WITH tok AS (
