@@ -427,6 +427,14 @@ def _q_repetition_scores(sf_dir: str):
 
 _SPELL_QTERMS = ["tabel", "jion", "qury", "streem", "windoow", "hash", "zzzzzz"]
 
+_FACET_QUERIES = [(0, "join hash"), (1, "spark"), (2, "customer order data"), (3, "zzz_oov")]
+
+
+def _q_facet_counts(sf_dir: str):
+    from engine import textstats
+
+    return textstats.facet_counts(sf_dir, _FACET_QUERIES, facet="lang")
+
 
 def _q_spell_suggest(sf_dir: str):
     from engine import spell
@@ -667,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "repetition_scores": _q_repetition_scores,
         "spell_suggest": _q_spell_suggest,
+        "facet_counts": _q_facet_counts,
         "quality_scores": _q_quality_scores,
         "language_id": _q_language_id,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -1256,6 +1265,14 @@ SELECT CAST(tok2.doc_id AS BIGINT) AS doc_id,
          AS lm_mean_r
 FROM tok2 JOIN lp ON tok2.term = lp.term
 GROUP BY tok2.doc_id
+""",
+        "facet_counts": f"""
+WITH tok2 AS ({_TOK2}),
+q(query_id, term) AS (VALUES {", ".join(f"({qid}, '{t}')" for qid, text in _FACET_QUERIES for t in dict.fromkeys(w.lower() for w in text.split(" ") if w))}),
+m AS (SELECT DISTINCT q.query_id, t.doc_id FROM q JOIN tok2 t ON t.term = q.term)
+SELECT m.query_id, d.lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id, d.lang
 """,
         "spell_suggest": f"""
 WITH vocab AS (SELECT term, count(*) AS cf FROM ({_TOK2}) GROUP BY term),

@@ -262,3 +262,74 @@ def collection_stats(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def facet_counts(
+    sf_dir: str, queries: list[tuple[int, str]], facet: str = "lang"
+) -> "ray.data.Dataset":
+    """Faceted search: per (query, facet value), how many documents
+    match the query (disjunctive simple-analyzer term match).
+
+    One streaming corpus pass: per batch, tokens are
+    dictionary-encoded ONCE, each query's term set is intersected with
+    the batch dictionary (per-DISTINCT-term, not per-token), matching
+    docs found via a bincount over token positions, and partial
+    (query_id, facet, n) counts emitted — the groupby shuffle moves
+    queries x facet-cardinality partials per batch, never documents.
+
+    Output: (query_id, {facet}, n_docs).
+    """
+    qterms = [
+        (qid, frozenset(t.lower() for t in text.split(" ") if t))
+        for qid, text in queries
+    ]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        doc_rep, _, flat = _split_lower(batch)
+        n = batch.num_rows
+        enc = flat.dictionary_encode()
+        dict_terms = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        fvals = batch.column(facet).to_pylist()
+        out_q, out_f, out_n = [], [], []
+        for qid, terms in qterms:
+            qcodes = np.array(
+                [i for i, t in enumerate(dict_terms) if t in terms], np.int64
+            )
+            if len(qcodes) == 0:
+                continue
+            hit_tok = np.isin(codes, qcodes)
+            ndocs_hit = np.bincount(doc_rep[hit_tok], minlength=n) > 0
+            counts: dict[str, int] = {}
+            for i in np.flatnonzero(ndocs_hit):
+                counts[fvals[i]] = counts.get(fvals[i], 0) + 1
+            for fv, c in counts.items():
+                out_q.append(qid)
+                out_f.append(fv)
+                out_n.append(c)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                facet: pa.array(out_f, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t.column("query_id"),
+                facet: t.column(facet),
+                "n_docs": t.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", facet]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["query_id", facet])
+        .sum("n")
+        .map_batches(rename, batch_format="pyarrow")
+    )

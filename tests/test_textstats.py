@@ -63,3 +63,30 @@ def test_top_ngrams_vs_local(ray_session, sf_dir):
         for r in textstats.top_ngrams(sf_dir, n=n, k=k).take_all()
     ]
     assert got == want
+
+
+def test_facet_counts_vs_python(ray_session, sf_dir):
+    """Differential vs a local disjunctive-match counter, plus facet
+    column totals: sum over facets == count of matching docs."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from engine.textstats import facet_counts
+
+    queries = [(0, "join hash"), (1, "spark"), (2, "zzz_oov")]
+    got = {
+        (r["query_id"], r["lang"]): r["n_docs"]
+        for r in facet_counts(sf_dir, queries, facet="lang").take_all()
+    }
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    want: Counter = Counter()
+    for text, lang in zip(t.column("text").to_pylist(), t.column("lang").to_pylist()):
+        toks = {w.lower() for w in text.split(" ") if w}
+        for qid, qtext in queries:
+            if toks & {w.lower() for w in qtext.split(" ") if w}:
+                want[(qid, lang)] += 1
+    assert got == dict(want)
+    assert not any(qid == 2 for qid, _ in got)  # OOV query matches nothing
