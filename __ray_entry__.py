@@ -436,6 +436,12 @@ def _q_facet_counts(sf_dir: str):
     return textstats.facet_counts(sf_dir, _FACET_QUERIES, facet="lang")
 
 
+def _q_rank_documents(sf_dir: str):
+    from engine import textstats
+
+    return textstats.rank_documents(sf_dir, k=50)
+
+
 def _q_spell_suggest(sf_dir: str):
     from engine import spell
 
@@ -676,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": _q_repetition_scores,
         "spell_suggest": _q_spell_suggest,
         "facet_counts": _q_facet_counts,
+        "rank_documents": _q_rank_documents,
         "quality_scores": _q_quality_scores,
         "language_id": _q_language_id,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -1265,6 +1272,14 @@ SELECT CAST(tok2.doc_id AS BIGINT) AS doc_id,
          AS lm_mean_r
 FROM tok2 JOIN lp ON tok2.term = lp.term
 GROUP BY tok2.doc_id
+""",
+        "rank_documents": f"""
+WITH dl AS (
+  SELECT doc_id, count(*) AS doc_len FROM ({_TOK2}) GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY doc_len DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, CAST(doc_len AS BIGINT) AS doc_len
+FROM dl ORDER BY doc_len DESC, doc_id LIMIT 50
 """,
         "facet_counts": f"""
 WITH tok2 AS ({_TOK2}),

@@ -333,3 +333,34 @@ def facet_counts(
         .sum("n")
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def rank_documents(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
+    """Globally ranked longest-k documents via Ray Data's distributed
+    sort: ``sort((doc_len DESC, doc_id ASC))`` (range-partitioned
+    all-to-all) then ``limit(k)``.  Rank assignment touches only the
+    k-bounded head, never the corpus.
+
+    For small k a per-batch heap + tiny merge (see
+    ``relational.grouped_topk``) is cheaper than a full sort; this op
+    exists for total-ordering workloads (sorted exports, curriculum
+    ordering) where the sort is the point — the limit here just bounds
+    the driver-checkable result.
+
+    Output: (rank, doc_id, doc_len).
+    """
+    head = (
+        doc_lengths(sf_dir)
+        .sort(["doc_len", "doc_id"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(range(1, len(head) + 1), pa.int64()),
+                "doc_id": pa.array([r["doc_id"] for r in head], pa.int64()),
+                "doc_len": pa.array([r["doc_len"] for r in head], pa.int64()),
+            }
+        )
+    )

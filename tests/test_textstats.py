@@ -90,3 +90,14 @@ def test_facet_counts_vs_python(ray_session, sf_dir):
                 want[(qid, lang)] += 1
     assert got == dict(want)
     assert not any(qid == 2 for qid, _ in got)  # OOV query matches nothing
+
+
+def test_rank_documents_total_order(ray_session, sf_dir):
+    """Sorted-head ranks == a local sort of doc lengths; ranks dense."""
+    from engine.textstats import doc_lengths, rank_documents
+
+    got = rank_documents(sf_dir, k=25).take_all()
+    all_lens = [(r["doc_id"], r["doc_len"]) for r in doc_lengths(sf_dir).take_all()]
+    want = sorted(all_lens, key=lambda t: (-t[1], t[0]))[:25]
+    assert [r["rank"] for r in got] == list(range(1, 26))
+    assert [(r["doc_id"], r["doc_len"]) for r in got] == want
