@@ -442,6 +442,15 @@ def _q_rank_documents(sf_dir: str):
     return textstats.rank_documents(sf_dir, k=50)
 
 
+_SNIPPET_QUERIES = [(0, "spark window"), (1, "merge"), (2, "zzz_oov")]
+
+
+def _q_snippets(sf_dir: str):
+    from engine import textstats
+
+    return textstats.snippets(sf_dir, _SNIPPET_QUERIES, window=2)
+
+
 def _q_spell_suggest(sf_dir: str):
     from engine import spell
 
@@ -683,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": _q_spell_suggest,
         "facet_counts": _q_facet_counts,
         "rank_documents": _q_rank_documents,
+        "snippets": _q_snippets,
         "quality_scores": _q_quality_scores,
         "language_id": _q_language_id,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -1272,6 +1282,26 @@ SELECT CAST(tok2.doc_id AS BIGINT) AS doc_id,
          AS lm_mean_r
 FROM tok2 JOIN lp ON tok2.term = lp.term
 GROUP BY tok2.doc_id
+""",
+        "snippets": f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tk FROM tok
+),
+q(query_id, term) AS (VALUES {", ".join(f"({qid}, '{t}')" for qid, text in _SNIPPET_QUERIES for t in dict.fromkeys(w.lower() for w in text.split(" ") if w))}),
+m AS (
+  SELECT q.query_id, t.doc_id, min(t.i) AS first_pos
+  FROM q JOIN tokpos t ON t.tk = q.term
+  GROUP BY q.query_id, t.doc_id
+)
+SELECT m.query_id, m.doc_id, CAST(m.first_pos AS BIGINT) AS first_pos,
+       string_agg(t.tk, ' ' ORDER BY t.i) AS snippet
+FROM m JOIN tokpos t
+  ON t.doc_id = m.doc_id AND t.i BETWEEN m.first_pos - 2 AND m.first_pos + 2
+GROUP BY m.query_id, m.doc_id, m.first_pos
 """,
         "rank_documents": f"""
 WITH dl AS (

@@ -364,3 +364,74 @@ def rank_documents(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
             }
         )
     )
+
+
+def snippets(
+    sf_dir: str, queries: list[tuple[int, str]], window: int = 2
+) -> "ray.data.Dataset":
+    """Search-result snippet extraction: for every (query, matching
+    doc), the +-``window``-token context around the FIRST occurrence of
+    any query term (disjunctive simple-analyzer match).
+
+    One streaming corpus pass, no shuffle: per batch, tokens are
+    dictionary-encoded once, each query's first-match position per doc
+    is found with a vectorized minimum-scatter, and the snippet is
+    sliced out of the flat token array via per-doc offsets.  Emitted
+    rows are (matching doc x query)-sized — results, not corpus.
+
+    At serving scale this runs over the top-k result set instead of
+    the whole corpus: broadcast the result doc_ids, push the set into
+    the parquet read filter, same per-batch kernel.
+
+    Output: (query_id, doc_id, first_pos, snippet); first_pos is
+    1-based to match the SQL oracle's generate_subscripts convention.
+    """
+    qterms = [
+        (qid, frozenset(t.lower() for t in text.split(" ") if t))
+        for qid, text in queries
+    ]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_rep, _, flat = _split_lower(batch)
+        n = batch.num_rows
+        doc_len = np.bincount(doc_rep, minlength=n)
+        starts = np.concatenate([[0], np.cumsum(doc_len)[:-1]])
+        enc = flat.dictionary_encode()
+        dict_terms = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        toks = None  # lazy; only built if some query matches
+        ids = batch.column("doc_id").to_numpy()
+        pos_in_doc = np.arange(len(codes), dtype=np.int64) - starts[doc_rep]
+        out_q, out_d, out_p, out_s = [], [], [], []
+        for qid, terms in qterms:
+            qcodes = np.array(
+                [i for i, t in enumerate(dict_terms) if t in terms], np.int64
+            )
+            if len(qcodes) == 0:
+                continue
+            hit = np.isin(codes, qcodes)
+            first = np.full(n, np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(first, doc_rep[hit], pos_in_doc[hit])
+            if toks is None:
+                toks = flat.to_pylist()
+            for d in np.flatnonzero(first < np.iinfo(np.int64).max):
+                fp = int(first[d])
+                lo = max(0, fp - window)
+                hi = min(int(doc_len[d]), fp + window + 1)
+                s = int(starts[d])
+                out_q.append(qid)
+                out_d.append(int(ids[d]))
+                out_p.append(fp + 1)
+                out_s.append(" ".join(toks[s + lo : s + hi]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "first_pos": pa.array(out_p, pa.int64()),
+                "snippet": pa.array(out_s, pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow")

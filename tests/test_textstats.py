@@ -101,3 +101,31 @@ def test_rank_documents_total_order(ray_session, sf_dir):
     want = sorted(all_lens, key=lambda t: (-t[1], t[0]))[:25]
     assert [r["rank"] for r in got] == list(range(1, 26))
     assert [(r["doc_id"], r["doc_len"]) for r in got] == want
+
+
+def test_snippets_vs_python(ray_session, sf_dir):
+    """Differential vs a local first-match window extractor."""
+    import pyarrow.parquet as pq
+
+    from engine.textstats import snippets
+
+    queries = [(0, "spark window"), (1, "zzz_oov")]
+    got = {
+        (r["query_id"], r["doc_id"]): (r["first_pos"], r["snippet"])
+        for r in snippets(sf_dir, queries, window=2).take_all()
+    }
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = [w.lower() for w in text.split(" ") if w]
+        for qid, qtext in queries:
+            terms = {w.lower() for w in qtext.split(" ") if w}
+            pos = [i for i, tk in enumerate(toks) if tk in terms]
+            if pos:
+                fp = pos[0]
+                want[(qid, did)] = (
+                    fp + 1,
+                    " ".join(toks[max(0, fp - 2) : fp + 3]),
+                )
+    assert got == want
+    assert len(got) > 100  # non-vacuous
