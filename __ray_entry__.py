@@ -153,6 +153,65 @@ def _q_bm25_topk_nostem(sf_dir: str):
     )
 
 
+# Rank-1 docs of the non-OOV _BM25_QUERIES at sf0.01 — deleting them
+# forces every ranking to shift, so the tombstone path is non-vacuous.
+_DELETE_SRC_IDS = [149, 252, 292, 381]
+
+
+def _q_bm25_delete_nostem(sf_dir: str):
+    """BM25 over an index with tombstoned docs (engine.maintenance):
+    Lucene semantics — stats keep pre-delete values, deleted docs are
+    just excluded from ranking.  The oracle is the standard BM25 CTE
+    with the same doc_ids filtered out of the ranked set only."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as _pq
+
+    from engine.ids import doc_id_of
+    from engine.maintenance import TOMBSTONES, delete_docs
+    from engine.query import run_queries
+
+    base = _build_simple_index(sf_dir)
+    out = base + "_del"
+    if not os.path.exists(os.path.join(out, "collection_stats.json")):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(base, out)
+    docs = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    want = set(_DELETE_SRC_IDS)
+    ids = [
+        doc_id_of(
+            f"testdata/{src}", f"docs/{did}.txt", _hl.sha1(text.encode()).hexdigest()
+        )
+        for did, text, src in zip(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(),
+            docs.column("source").to_pylist(),
+        )
+        if did in want
+    ]
+    tomb = os.path.join(out, TOMBSTONES)
+    if os.path.exists(tomb):
+        os.remove(tomb)  # deterministic regardless of cached state
+    delete_docs(out, ids)
+    res = run_queries(out, _BM25_QUERIES, mode="wand", concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_bm25_and_nostem(sf_dir: str):
     """Conjunctive (AND) BM25 over the simple-analyzer index."""
     from engine.query import run_queries
@@ -667,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": _q_top_ngrams,
         "collection_stats": _q_collection_stats,
         "bm25_topk_nostem": _q_bm25_topk_nostem,
+        "bm25_delete_nostem": _q_bm25_delete_nostem,
         "bm25_and_nostem": _q_bm25_and_nostem,
         "bm25_not_nostem": _q_bm25_not_nostem,
         "bm25_phrase_nostem": _q_bm25_phrase_nostem,
@@ -728,7 +788,7 @@ _TOK = (
 _TOK2 = f"SELECT doc_id, term FROM ({_TOK}) WHERE term <> ''"
 
 
-def _bm25_sql(conjunctive: bool = False) -> str:
+def _bm25_sql(conjunctive: bool = False, exclude_ids: list[int] | None = None) -> str:
     vals = []
     for q in _BM25_QUERIES:
         seen = []
@@ -774,6 +834,7 @@ ranked AS (
          row_number() OVER (PARTITION BY scores.query_id
                             ORDER BY score DESC, doc_id) AS rank
   FROM scores {and_filter}
+  {f"WHERE doc_id NOT IN ({', '.join(map(str, exclude_ids))})" if exclude_ids else ""}
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
@@ -1131,6 +1192,7 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
             f"(SELECT doc_id, count(*) AS c FROM ({_TOK2}) GROUP BY doc_id)"
         ),
         "bm25_topk_nostem": _bm25_sql(),
+        "bm25_delete_nostem": _bm25_sql(exclude_ids=_DELETE_SRC_IDS),
         "bm25_and_nostem": _bm25_sql(conjunctive=True),
         "bm25_not_nostem": _bm25_not_sql(),
         "bm25_phrase_nostem": _phrase_sql(),

@@ -201,6 +201,7 @@ def merge_indexes(
     resume: bool = False,
     merge_num_cpus: float = 2.0,
     merge_tasks: int | None = None,
+    exclude_doc_ids=None,
 ) -> dict:
     """Merge N existing indexes into a fresh one WITHOUT re-analysis
     (Lucene-style segment merge, distributed).
@@ -213,6 +214,10 @@ def merge_indexes(
     build's D1 rule.  Because every step is deterministic, merging
     split-built indexes is byte-identical to a direct build of the
     combined corpus (tests/test_merge_indexes.py).
+
+    ``exclude_doc_ids``: optional doc_ids dropped during segment
+    reconstruction (the compaction path — engine.maintenance); small
+    by assumption, shipped to reconstruct tasks via ``ray.put``.
     """
     t0 = time.perf_counter()
     manifests = [checkpoint.read_build_manifest(d) for d in index_dirs]
@@ -237,14 +242,23 @@ def merge_indexes(
         shutil.rmtree(os.path.join(out_dir, "runs"), ignore_errors=True)
         runs_dir = os.path.join(out_dir, "runs")
         seg_paths = [p for d in index_dirs for p in list_segments(d)]
+        excl = np.unique(np.asarray(exclude_doc_ids, np.int64)) if (
+            exclude_doc_ids is not None and len(exclude_doc_ids)
+        ) else None
+        excl_ref = ray.put(excl)
 
         def reconstruct(batch: pa.Table) -> pa.Table:
             from .postings import write_run
             from .segments import segment_to_analyzed
 
+            ex = ray.get(excl_ref)
             outs = []
             for path in batch.column("item").to_pylist():
-                outs.append(write_run(segment_to_analyzed(path, num_parts), runs_dir))
+                rows = segment_to_analyzed(path, num_parts)
+                if ex is not None:
+                    keep = ~np.isin(rows.column("doc_id").to_numpy(), ex)
+                    rows = rows.filter(pa.array(keep))
+                outs.append(write_run(rows, runs_dir))
             return pa.concat_tables(outs)
 
         run_summary = (

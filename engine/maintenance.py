@@ -1,0 +1,71 @@
+"""Index maintenance: document deletion (tombstones) and compaction.
+
+Lucene-style lifecycle: deletes are O(deleted) metadata — a sorted
+``tombstones.parquet`` at the index root — applied at query time by
+every reader; segments stay immutable (the byte-determinism invariant
+is untouched).  Compaction rewrites the index WITHOUT the tombstoned
+docs through the existing no-re-analysis merge path and drops the
+tombstone file; the result is byte-identical to a direct build of the
+reduced corpus (tests/test_maintenance.py), so resume/merge guarantees
+carry over.
+
+Scale assumptions (documented, standard for tombstone designs):
+
+- the tombstone set is small relative to the corpus between
+  compactions — readers hold it in memory and per-segment exclusion
+  ordinals are an ``np.isin`` against each segment's doc_id array;
+- BM25 stats (N, avgdl, df) keep their pre-delete values until
+  compaction, exactly like Lucene before a merge: scores of surviving
+  docs are unchanged, deleted docs just can't be returned;
+- readers see the tombstones that existed when they were constructed
+  (actor-pool scorers load them in ``__init__``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TOMBSTONES = "tombstones.parquet"
+
+
+def read_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted int64 doc_ids marked deleted (empty array if none)."""
+    p = os.path.join(index_dir, TOMBSTONES)
+    if not os.path.exists(p):
+        return np.zeros(0, np.int64)
+    return pq.read_table(p, columns=["doc_id"]).column("doc_id").to_numpy()
+
+
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Mark ``doc_ids`` deleted.  Idempotent, atomic (tmp + rename),
+    merges with existing tombstones.  Returns the total tombstone
+    count after the merge."""
+    new = np.asarray(list(doc_ids), np.int64)
+    merged = np.unique(np.concatenate([read_tombstones(index_dir), new]))
+    p = os.path.join(index_dir, TOMBSTONES)
+    tmp = f"{p}.tmp-{os.getpid()}"
+    pq.write_table(pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp)
+    os.replace(tmp, p)
+    return int(merged.size)
+
+
+def compact_index(index_dir: str, out_dir: str, **merge_kwargs) -> dict:
+    """Rewrite the index without its tombstoned docs (no re-analysis).
+
+    Runs the standard distributed merge over this single index with
+    the tombstone set excluded during segment reconstruction; the
+    output carries no tombstone file and its segments are
+    byte-identical to a direct build of the reduced corpus.
+    """
+    from .build import merge_indexes
+
+    return merge_indexes(
+        [index_dir],
+        out_dir,
+        exclude_doc_ids=read_tombstones(index_dir),
+        **merge_kwargs,
+    )

@@ -141,6 +141,15 @@ class IndexReader:
         self.global_df = _ShardedDf(index_dir)
         self.segment_paths = list_segments(index_dir)
         self._segments: dict[int, Segment] = {}  # insertion order = LRU
+        # deleted docs (engine.maintenance): loaded once per reader;
+        # small-by-assumption between compactions.  Per-segment
+        # exclusion ordinals are computed lazily and cached (bounded by
+        # segment count x tombstone size).
+        from .maintenance import read_tombstones
+
+        tomb = read_tombstones(index_dir)
+        self.tombstones: "np.ndarray | None" = tomb if tomb.size else None
+        self._tomb_ords: dict[int, "frozenset | None"] = {}
         self._max_open_segments = max(1, max_open_segments)
         # decoded-postings cache budget, split across the OPEN-segment
         # bound (not total segment count); the floor keeps each open
@@ -197,8 +206,34 @@ class IndexReader:
         the positional index), "not" ('-term' tokens in the query text
         exclude docs containing that term; scoring is disjunctive over
         the unsigned terms — analysis.split_signed syntax).
+
+        Tombstoned docs never appear in results: every mode over-fetches
+        k + |tombstones in this segment| (at most that many of the head
+        can be deleted, so >=k survivors remain when they exist) and
+        filters before the cut — exact, and the scoring kernels stay
+        untouched.
         """
         seg = self.segment(seg_id)
+        tomb = self._seg_tombstones(seg_id, seg)
+        if tomb:
+            hits = self._score_segment_inner(seg, text, k + len(tomb), mode, match)
+            return [
+                (int(seg.doc_ids[o]), s) for o, s in hits if o not in tomb
+            ][:k]
+        hits = self._score_segment_inner(seg, text, k, mode, match)
+        return [(int(seg.doc_ids[o]), s) for o, s in hits]
+
+    def _seg_tombstones(self, seg_id: int, seg) -> "frozenset | None":
+        if self.tombstones is None:
+            return None
+        if seg_id not in self._tomb_ords:
+            ords = np.flatnonzero(np.isin(seg.doc_ids, self.tombstones))
+            self._tomb_ords[seg_id] = frozenset(ords.tolist()) if ords.size else None
+        return self._tomb_ords[seg_id]
+
+    def _score_segment_inner(
+        self, seg, text: str, k: int, mode: str, match: str
+    ) -> list[tuple[int, float]]:
         if match == "not":
             pos_text, neg_text = analysis.split_signed(text)
             qt = self.qterms(pos_text)
@@ -231,7 +266,7 @@ class IndexReader:
                 raise ValueError(f"unknown mode {mode!r}")
         else:
             raise ValueError(f"unknown match {match!r}")
-        return [(int(seg.doc_ids[o]), s) for o, s in hits]
+        return hits
 
     def more_like_this(self, doc_id: int, k: int = 10,
                        max_terms: int = 10) -> list[dict]:
@@ -272,7 +307,11 @@ class IndexReader:
         pool: list[tuple[float, int, int]] = []
         for seg_id in range(len(self.segment_paths)):
             s = self.segment(seg_id)
-            for o2, score in wand.auto_topk(s, qt, k + 1, self.avg_doc_len):
+            tomb = self._seg_tombstones(seg_id, s)
+            kk = k + 1 + (len(tomb) if tomb else 0)
+            for o2, score in wand.auto_topk(s, qt, kk, self.avg_doc_len):
+                if tomb and o2 in tomb:
+                    continue
                 pool.append((score, int(s.doc_ids[o2]), seg_id))
         pool.sort(key=lambda c: (-c[0], c[1]))
         out = []

@@ -1,0 +1,116 @@
+"""Index maintenance: tombstone deletes are exact (results == full
+results minus deleted docs), survive the distributed path, and
+compaction is byte-identical to a direct build of the reduced corpus."""
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from engine.build import build_index
+from engine.ids import doc_id_of
+from engine.maintenance import compact_index, delete_docs, read_tombstones
+from engine.query import IndexReader, run_queries
+from engine.segments import list_segments
+from tests.fixtures.gen import gen_corpus
+
+P = 6
+QTEXT = "def data index"
+
+
+def _hashes(out: str) -> dict:
+    res = {}
+    for seg in list_segments(out):
+        for fname in ("postings.bin", "dict.parquet", "blockmax.parquet", "docs.parquet"):
+            with open(os.path.join(seg, fname), "rb") as f:
+                res[f"{os.path.basename(seg)}/{fname}"] = hashlib.sha256(
+                    f.read()
+                ).hexdigest()
+    return res
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    rows = gen_corpus(200, seed=23)
+    root = tmp_path_factory.mktemp("maint")
+    full = str(root / "full")
+    build_index(ray.data.from_arrow(pa.Table.from_pylist(rows)), full,
+                num_parts=P, analyzer_concurrency=(1, 2))
+    return {"rows": rows, "root": root, "full": full}
+
+
+def test_delete_is_exact_minus_filter(built, tmp_path):
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(built["full"], idx)
+    k = 15
+    r0 = IndexReader(idx)
+    base = r0.search(QTEXT, k=k + 3)
+    assert len(base) > 5
+    dead = [h["doc_id"] for h in base[:3]]  # delete 3 docs from the head
+    assert delete_docs(idx, dead) == 3
+    r1 = IndexReader(idx)  # fresh reader sees tombstones
+    got = r1.search(QTEXT, k=k)
+    want = [h for h in base if h["doc_id"] not in set(dead)][:k]
+    assert [h["doc_id"] for h in got] == [h["doc_id"] for h in want]
+    assert [h["score"] for h in got] == [h["score"] for h in want]
+    # all match modes exclude deleted docs
+    for match in ("any", "all", "not"):
+        text = {"any": QTEXT, "all": "data", "not": "data -zzznope"}[match]
+        for h in r1.search(text, k=50, match=match):
+            assert h["doc_id"] not in set(dead)
+
+
+def test_delete_merge_idempotent(built, tmp_path):
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(built["full"], idx)
+    assert delete_docs(idx, [111, 222]) == 2
+    assert delete_docs(idx, [222, 333]) == 3
+    assert sorted(read_tombstones(idx).tolist()) == [111, 222, 333]
+
+
+def test_distributed_queries_exclude_deleted(built, tmp_path):
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(built["full"], idx)
+    base = IndexReader(idx).search(QTEXT, k=5)
+    dead = {h["doc_id"] for h in base[:2]}
+    delete_docs(idx, dead)
+    res = run_queries(
+        idx, [{"query_id": 0, "text": QTEXT, "k": 10}], concurrency=(1, 2)
+    ).take_all()
+    assert len(res) == 10
+    assert not ({r["doc_id"] for r in res} & dead)
+
+
+def test_compaction_byte_identity(built, tmp_path):
+    import shutil
+
+    rows = built["rows"]
+    ids = [doc_id_of(r["repo"], r["path"], r["commit"]) for r in rows]
+    dead_ids = sorted({ids[i] for i in range(0, len(rows), 7)})
+    idx = str(tmp_path / "idx")
+    shutil.copytree(built["full"], idx)
+    delete_docs(idx, dead_ids)
+
+    compacted = str(tmp_path / "compacted")
+    stats = compact_index(idx, compacted)
+    assert stats["num_docs"] == len(set(ids) - set(dead_ids))
+    assert read_tombstones(compacted).size == 0
+
+    direct = str(tmp_path / "direct")
+    keep = [r for r, i in zip(rows, ids) if i not in set(dead_ids)]
+    build_index(ray.data.from_arrow(pa.Table.from_pylist(keep)), direct,
+                num_parts=P, analyzer_concurrency=(1, 2))
+    assert _hashes(compacted) == _hashes(direct)
+    # deleted docs are gone even without tombstones
+    r = IndexReader(compacted)
+    for h in r.search(QTEXT, k=50):
+        assert h["doc_id"] not in set(dead_ids)
