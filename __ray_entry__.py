@@ -265,6 +265,63 @@ def _q_bm25_not_nostem(sf_dir: str):
     )
 
 
+_PREFIX_QUERIES = [
+    {"query_id": 0, "text": "cust* data", "k": 10},
+    {"query_id": 1, "text": "mer*", "k": 10},
+    {"query_id": 2, "text": "zzz*", "k": 10},
+    {"query_id": 3, "text": "s*", "k": 10},
+    {"query_id": 4, "text": "join jo*", "k": 10},
+]
+
+_FUZZY_QUERIES = [
+    {"query_id": 0, "text": "custome~ data", "k": 10},
+    # NOTE: single-term "hash~" has an exact score tie at the top-10
+    # boundary at sf0.01; the engine tie-breaks on INTERNAL doc_id
+    # (content-derived), the SQL oracle on source doc_id — pick
+    # tie-free queries (multi-term) like every other BM25 entry.
+    {"query_id": 1, "text": "hash~ join", "k": 10},
+    {"query_id": 2, "text": "merge~2", "k": 10},
+    {"query_id": 3, "text": "zzzzzzz~", "k": 10},
+    {"query_id": 4, "text": "scan~ filter", "k": 10},
+]
+
+
+def _q_bm25_expand(sf_dir: str, queries, match: str):
+    from engine.query import run_queries
+
+    out = _build_simple_index(sf_dir)
+    res = run_queries(out, queries, match=match, concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
+def _q_bm25_prefix_nostem(sf_dir: str):
+    """Prefix-wildcard BM25 ('term*' expands against the index
+    dictionary — engine.analysis.split_wildcard syntax), simple
+    analyzer; per-segment dictionary-range expansion, rank identity vs
+    refimpl pytest-verified."""
+    return _q_bm25_expand(sf_dir, _PREFIX_QUERIES, "prefix")
+
+
+def _q_bm25_fuzzy_nostem(sf_dir: str):
+    """Fuzzy BM25 ('term~' / 'term~2' expand to dictionary terms within
+    Levenshtein distance 1 / 2 — engine.analysis.split_fuzzy syntax),
+    simple analyzer; banded-Levenshtein per-segment expansion."""
+    return _q_bm25_expand(sf_dir, _FUZZY_QUERIES, "fuzzy")
+
+
 _PHRASE_QUERIES = [
     {"query_id": 0, "text": "the data", "k": 10},
     {"query_id": 1, "text": "a model is", "k": 10},
@@ -729,6 +786,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_delete_nostem": _q_bm25_delete_nostem,
         "bm25_and_nostem": _q_bm25_and_nostem,
         "bm25_not_nostem": _q_bm25_not_nostem,
+        "bm25_prefix_nostem": _q_bm25_prefix_nostem,
+        "bm25_fuzzy_nostem": _q_bm25_fuzzy_nostem,
         "bm25_phrase_nostem": _q_bm25_phrase_nostem,
         "verify_invariant": _q_verify_invariant,
         "groupby_lineitem": _q_groupby_lineitem,
@@ -894,6 +953,93 @@ ranked AS (
   FROM scores sc
   LEFT JOIN ex ON ex.query_id = sc.query_id AND ex.doc_id = sc.doc_id
   WHERE ex.doc_id IS NULL
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(round(score, 4) AS DOUBLE) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _bm25_expand_sql(queries, kind: str) -> str:
+    """Prefix / fuzzy oracle: the standard BM25 CTE with the q VALUES
+    replaced by qx — the DISTINCT union of exact plain-term matches and
+    dictionary-pattern expansions (starts_with for 'term*', DuckDB
+    levenshtein <= d for 'term~'/'term~2').  DISTINCT reproduces the
+    engine's first-occurrence dedupe: a term matching several patterns
+    (or a plain term) scores exactly once.  Sum order differs from the
+    engine but score_r rounds to 4 dp (same tolerance as every other
+    BM25 entry)."""
+    from engine.analysis import split_fuzzy, split_wildcard
+
+    evals, pvals = [], []
+    for q in queries:
+        plain_text, pats = (
+            split_wildcard(q["text"]) if kind == "prefix" else split_fuzzy(q["text"])
+        )
+        seen: list[str] = []
+        for t in plain_text.split(" "):
+            t = t.lower()
+            if t and t not in seen:
+                seen.append(t)
+        for t in seen:
+            evals.append(f"({q['query_id']}, '{t}')")
+        for p in pats:
+            if kind == "prefix":
+                pvals.append(f"({q['query_id']}, '{p}', 0)")
+            else:
+                pvals.append(f"({q['query_id']}, '{p[0]}', {p[1]})")
+    # DuckDB rejects empty VALUES: fall back to a row-free SELECT
+    eq = (
+        f"qe(query_id, term) AS (VALUES {', '.join(evals)})"
+        if evals
+        else "qe(query_id, term) AS (SELECT 0, '' WHERE false)"
+    )
+    pq_ = (
+        f"qp(query_id, pat, d) AS (VALUES {', '.join(pvals)})"
+        if pvals
+        else "qp(query_id, pat, d) AS (SELECT 0, '', 0 WHERE false)"
+    )
+    cond = (
+        "starts_with(dft.term, qp.pat)"
+        if kind == "prefix"
+        else "levenshtein(dft.term, qp.pat) <= qp.d"
+    )
+    return f"""
+WITH tok2 AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{eq},
+{pq_},
+qx AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT qe.query_id, dft.term FROM qe JOIN dft ON dft.term = qe.term
+    UNION ALL
+    SELECT qp.query_id, dft.term FROM qp JOIN dft ON {cond}
+  )
+),
+scores AS (
+  SELECT qx.query_id, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+         ) AS score
+  FROM qx
+  JOIN tf ON qx.term = tf.term
+  JOIN dft ON qx.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY qx.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
@@ -1195,6 +1341,8 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
         "bm25_delete_nostem": _bm25_sql(exclude_ids=_DELETE_SRC_IDS),
         "bm25_and_nostem": _bm25_sql(conjunctive=True),
         "bm25_not_nostem": _bm25_not_sql(),
+        "bm25_prefix_nostem": _bm25_expand_sql(_PREFIX_QUERIES, "prefix"),
+        "bm25_fuzzy_nostem": _bm25_expand_sql(_FUZZY_QUERIES, "fuzzy"),
         "bm25_phrase_nostem": _phrase_sql(),
         "more_like_this": _more_like_this_sql(),
         "groupby_lineitem": (

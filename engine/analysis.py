@@ -247,6 +247,48 @@ def split_signed(text: str) -> tuple[str, str]:
     return " ".join(pos), " ".join(neg)
 
 
+def split_wildcard(text: str) -> tuple[str, list[str]]:
+    """Prefix-query syntax (M8): whitespace tokens ending with a single
+    trailing '*' are PREFIX terms.  Returns (plain_text, prefixes):
+    plain_text is the space-joined remainder fed to the normal analyzer;
+    prefixes are lowercased literals matched against INDEX terms (never
+    analyzed/stemmed — the standard wildcard-query rule: expansion
+    happens in index-term space, Lucene MultiTermQuery semantics).
+    Duplicate prefixes keep first occurrence; a bare '*' stays plain."""
+    plain, prefixes = [], []
+    for w in text.split():
+        if len(w) > 1 and w.endswith("*") and "*" not in w[:-1]:
+            p = w[:-1].lower()
+            if p not in prefixes:
+                prefixes.append(p)
+        else:
+            plain.append(w)
+    return " ".join(plain), prefixes
+
+
+def split_fuzzy(text: str) -> tuple[str, list[tuple[str, int]]]:
+    """Fuzzy-query syntax (M8): 'term~' (edit distance 1) or 'term~2'
+    (distance 2) tokens expand to vocabulary terms within banded
+    Levenshtein distance.  Returns (plain_text, [(base, d)]); bases are
+    lowercased literals matched against INDEX terms (not analyzed, same
+    rule as split_wildcard).  Duplicate (base, d) keep first occurrence;
+    a bare '~' stays plain."""
+    plain, fuzzies = [], []
+    for w in text.split():
+        base, d = None, 1
+        if len(w) > 1 and w.endswith("~"):
+            base = w[:-1]
+        elif len(w) > 2 and w.endswith(("~1", "~2")):
+            base, d = w[:-2], int(w[-1])
+        if base is not None and "~" not in base:
+            item = (base.lower(), d)
+            if item not in fuzzies:
+                fuzzies.append(item)
+        else:
+            plain.append(w)
+    return " ".join(plain), fuzzies
+
+
 class Analyzer:
     """Named analyzer chain: tokenize [-> stem], with a per-instance
     term->stem memo (A2: per-actor cache; corpus vocab is Zipf so the

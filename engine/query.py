@@ -151,6 +151,8 @@ class IndexReader:
         self.tombstones: "np.ndarray | None" = tomb if tomb.size else None
         self._tomb_ords: dict[int, "frozenset | None"] = {}
         self._max_open_segments = max(1, max_open_segments)
+        # fuzzy-expansion memo: (segment path, base, d) -> [terms]
+        self._fuzzy_cache: dict[tuple[str, str, int], list[str]] = {}
         # decoded-postings cache budget, split across the OPEN-segment
         # bound (not total segment count); the floor keeps each open
         # segment's Zipf-head terms resident (below it the cache
@@ -195,6 +197,86 @@ class IndexReader:
             out.append((t, bm25.idf(df, self.num_docs)))
         return out
 
+    # -- dictionary term expansion (prefix / fuzzy query modes) --
+    #
+    # Expansion is PER SEGMENT against its sorted dictionary — never a
+    # global vocabulary scan, so it distributes: each scorer expands
+    # only over terms that can contribute in its own segment.  Exact
+    # float equality with the single-process oracle holds because a
+    # term absent from a segment contributes +0.0 at its qt position,
+    # which cannot perturb the IEEE sum of the remaining terms.
+
+    def _expand_prefix(self, seg: Segment, prefix: str) -> list[str]:
+        """Index terms starting with ``prefix``, dictionary (sorted)
+        order.  Terms with a common prefix are CONTIGUOUS in the sorted
+        dictionary, so this is one bisect + an O(matches) scan."""
+        import bisect
+
+        terms = seg.terms
+        lo = bisect.bisect_left(terms, prefix)
+        out = []
+        for i in range(lo, len(terms)):
+            if not terms[i].startswith(prefix):
+                break
+            out.append(terms[i])
+        return out
+
+    def _expand_fuzzy(self, seg: Segment, base: str, d: int) -> list[str]:
+        """Index terms within banded Levenshtein distance ``d`` of
+        ``base``, dictionary order.  Length-window prefilter + banded
+        early-exit distance; cached per (segment, base, d) on the
+        reader (a query stream re-probes the same few bases)."""
+        from .spell import _lev
+
+        key = (seg.path, base, d)
+        hit = self._fuzzy_cache.get(key)
+        if hit is not None:
+            return hit
+        lens = seg.term_lens()
+        nb = len(base)
+        cand = np.flatnonzero(np.abs(lens - nb) <= d)
+        out = [
+            seg.terms[i] for i in cand if _lev(seg.terms[int(i)], base, d) <= d
+        ]
+        if len(self._fuzzy_cache) >= 4096:
+            self._fuzzy_cache.clear()
+        self._fuzzy_cache[key] = out
+        return out
+
+    def qterms_expanded(
+        self, seg: Segment, text: str, kind: str
+    ) -> list[tuple[str, float]]:
+        """[(term, idf)] for prefix / fuzzy queries: plain analyzed
+        terms first (global-df gated, first-occurrence order — same as
+        qterms), then per wildcard token in query order its segment
+        expansion in dictionary order, deduped against everything
+        already emitted.  idf always comes from the GLOBAL df, so every
+        segment scores an expanded term identically."""
+        if kind == "prefix":
+            plain_text, pats = analysis.split_wildcard(text)
+            expand = lambda p: self._expand_prefix(seg, p)  # noqa: E731
+        else:
+            plain_text, pats = analysis.split_fuzzy(text)
+            expand = lambda p: self._expand_fuzzy(seg, p[0], p[1])  # noqa: E731
+        seen: set[str] = set()
+        out: list[tuple[str, float]] = []
+        for t in analyze_query(self.analyzer, plain_text):
+            if t in seen:
+                continue
+            seen.add(t)
+            df = self.global_df.get(t, 0)
+            if df > 0:
+                out.append((t, bm25.idf(df, self.num_docs)))
+        for pat in pats:
+            for t in expand(pat):
+                if t in seen:
+                    continue
+                seen.add(t)
+                out.append(
+                    (t, bm25.idf(self.global_df.get(t, 1), self.num_docs))
+                )
+        return out
+
     def score_segment(
         self, seg_id: int, text: str, k: int, mode: str = "auto",
         match: str = "any",
@@ -205,7 +287,12 @@ class IndexReader:
         term must occur, Q2), "phrase" (exact contiguous sequence over
         the positional index), "not" ('-term' tokens in the query text
         exclude docs containing that term; scoring is disjunctive over
-        the unsigned terms — analysis.split_signed syntax).
+        the unsigned terms — analysis.split_signed syntax), "prefix"
+        ('term*' tokens expand to all index terms with that prefix —
+        analysis.split_wildcard syntax), "fuzzy" ('term~' / 'term~2'
+        tokens expand to index terms within Levenshtein distance 1 / 2
+        — analysis.split_fuzzy syntax).  Expanded modes score
+        disjunctively; each expanded term keeps its own global idf.
 
         Tombstoned docs never appear in results: every mode over-fetches
         k + |tombstones in this segment| (at most that many of the head
@@ -252,6 +339,11 @@ class IndexReader:
                 return []
             seq = list(self.analyzer(text))
             hits = wand.phrase_topk(seg, seq, qt, k, self.avg_doc_len)
+        elif match in ("prefix", "fuzzy"):
+            qt = self.qterms_expanded(seg, text, match)
+            if not qt:
+                return []
+            hits = wand.auto_topk(seg, qt, k, self.avg_doc_len)
         elif match == "any":
             qt = self.qterms(text)
             if not qt:

@@ -125,6 +125,72 @@ class RefIndex:
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
 
+    def _vocab_sorted(self) -> list[str]:
+        if not hasattr(self, "_vocab_cache"):
+            self._vocab_cache = sorted(self.postings)
+        return self._vocab_cache
+
+    def _topk_expanded(self, text: str, k: int, kind: str) -> list[tuple[int, float]]:
+        """Shared prefix/fuzzy scorer: qt = plain analyzed terms
+        (first-occurrence order, df>0), then per wildcard token in
+        query order its vocabulary expansion in sorted order, deduped —
+        the exact qt rule engine.query.IndexReader.qterms_expanded
+        applies per segment (absent terms add +0.0 there, so float
+        sums agree exactly)."""
+        if kind == "prefix":
+            plain_text, pats = analysis.split_wildcard(text)
+        else:
+            plain_text, pats = analysis.split_fuzzy(text)
+        seen: set[str] = set()
+        qt: list[str] = []
+        for t in self.analyze_query(plain_text):
+            if t not in seen:
+                seen.add(t)
+                if self.df(t) > 0:
+                    qt.append(t)
+        vocab = self._vocab_sorted()
+        for pat in pats:
+            if kind == "prefix":
+                import bisect
+
+                lo = bisect.bisect_left(vocab, pat)
+                exp = []
+                for i in range(lo, len(vocab)):
+                    if not vocab[i].startswith(pat):
+                        break
+                    exp.append(vocab[i])
+            else:
+                from .spell import _lev
+
+                base, d = pat
+                exp = [t for t in vocab if _lev(t, base, d) <= d]
+            for t in exp:
+                if t not in seen:
+                    seen.add(t)
+                    qt.append(t)
+        scores: dict[int, float] = {}
+        for t in qt:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            idf_t = bm25.idf(len(plist), self.num_docs)
+            for did, tf in plist:
+                scores[did] = scores.get(did, 0.0) + idf_t * bm25.tf_part(
+                    float(tf), float(self.doc_len[did]), self.avg_doc_len
+                )
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+        return ranked[:k]
+
+    def topk_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Prefix wildcards: 'term*' expands to every vocabulary term
+        with that prefix (split_wildcard syntax), disjunctive BM25."""
+        return self._topk_expanded(text, k, "prefix")
+
+    def topk_fuzzy(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Fuzzy terms: 'term~' / 'term~2' expand to vocabulary terms
+        within Levenshtein distance 1 / 2 (split_fuzzy syntax)."""
+        return self._topk_expanded(text, k, "fuzzy")
+
     def _score_docs(self, terms: list[str], docs: set[int]) -> list[tuple[int, float]]:
         """BM25-score the given docs over ``terms`` (analyzed order)."""
         scores = {d: 0.0 for d in docs}

@@ -378,6 +378,15 @@ class Segment:
         self._fwd_rg_max: np.ndarray | None = None
         self._fwd_rg_cache: tuple[int, pa.Table] | None = None
 
+    def term_lens(self) -> np.ndarray:
+        """Per-dictionary-row term lengths (lazy; fuzzy-expansion
+        length-window prefilter)."""
+        if getattr(self, "_term_lens", None) is None:
+            self._term_lens = np.fromiter(
+                (len(t) for t in self.terms), dtype=np.int64, count=len(self.terms)
+            )
+        return self._term_lens
+
     # -- forward index (more-like-this term selection) --
 
     def fwd_terms(self, doc_id: int) -> tuple[list[str], np.ndarray] | None:

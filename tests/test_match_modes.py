@@ -132,3 +132,78 @@ def test_more_like_this(built_index):
 
     with _pytest.raises(KeyError):
         rd.more_like_this(123456789, k=3)
+
+
+# -- prefix / fuzzy expansion modes ----------------------------------------
+
+_PREFIX_QUERIES = [
+    "pa*",                  # common prefix, many expansions (pasi, pali...)
+    "fu* giga",             # expansion + plain term mix
+    "import import*",       # expansion overlapping a plain term (dedupe)
+    "zzznope*",             # no expansion
+    "c*",                   # single-char prefix (wide fan-out)
+    "ruco* pobi*",          # two wildcard tokens
+]
+
+_FUZZY_QUERIES = [
+    "pasa~",                # one substitution from 'pasi'/'pali'-family
+    "gigo~ fepa",           # fuzzy + plain
+    "falugo~2",             # distance 2
+    "giga~ giga",           # fuzzy overlapping its own exact term
+    "zzzzzzzz~",            # nothing within distance 1
+    "fubi~2 dufu~",         # two fuzzy tokens, mixed distances
+]
+
+
+def test_prefix_rank_identity(built_index):
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    n_nonempty = 0
+    for text in _PREFIX_QUERIES:
+        want = ref.topk_prefix(text, 10)
+        got = _pairs(rd.search(text, 10, match="prefix"))
+        _assert_same(got, want, text)
+        n_nonempty += bool(want)
+    assert n_nonempty >= 4  # fixture sanity: prefixes actually expand
+
+
+def test_fuzzy_rank_identity(built_index):
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    n_nonempty = 0
+    for text in _FUZZY_QUERIES:
+        want = ref.topk_fuzzy(text, 10)
+        got = _pairs(rd.search(text, 10, match="fuzzy"))
+        _assert_same(got, want, text)
+        n_nonempty += bool(want)
+    assert n_nonempty >= 4
+
+
+def test_expansion_syntax_splitters():
+    from engine.analysis import split_fuzzy, split_wildcard
+
+    assert split_wildcard("foo* bar baz*") == ("bar", ["foo", "baz"])
+    assert split_wildcard("* a*b Foo*") == ("* a*b", ["foo"])  # bare/mid '*' stay plain
+    assert split_wildcard("dup* dup*") == ("", ["dup"])
+    assert split_fuzzy("foo~ bar") == ("bar", [("foo", 1)])
+    assert split_fuzzy("Foo~2 x~1 ~") == ("~", [("foo", 2), ("x", 1)])
+    assert split_fuzzy("a~~2 b") == ("a~~2 b", [])  # '~' inside base stays plain
+
+
+def test_distributed_prefix_fuzzy(built_index):
+    """Distributed actor-pool path == single-process path == refimpl."""
+    ref = built_index["ref"]
+    queries = [
+        {"query_id": i, "text": t, "k": 10}
+        for i, t in enumerate(_PREFIX_QUERIES[:3])
+    ]
+    res = run_queries(
+        built_index["out"], queries, match="prefix", concurrency=(1, 2)
+    ).take_all()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in queries:
+        want = ref.topk_prefix(q["text"], q["k"])
+        got = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], q["text"]
