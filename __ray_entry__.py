@@ -212,6 +212,58 @@ def _q_bm25_delete_nostem(sf_dir: str):
     )
 
 
+def _q_bm25_incremental(sf_dir: str):
+    """BM25 over an index built INCREMENTALLY (engine.build
+    add_documents): even-doc_id documents are the base build, odd ones
+    arrive as a delta generation.  Global stats/df are re-finalized
+    exactly, so the oracle is the standard full-corpus BM25 CTE —
+    rank-and-score identity with a full rebuild is the operator's
+    contract (tests/test_incremental.py)."""
+    import pyarrow.compute as _pc
+
+    from engine.build import add_documents, build_index
+    from engine.corpus import read_corpus_from_documents
+    from engine.query import run_queries
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"graft_idx_incr_v1_{tag}")
+    if not os.path.exists(os.path.join(out, "collection_stats.json")):
+        shutil.rmtree(out, ignore_errors=True)
+
+        def _parity(batch: pa.Table, want: int) -> pa.Table:
+            ids = pa.array(
+                [_source_doc_id(p) % 2 for p in batch.column("path").to_pylist()]
+            )
+            return batch.filter(_pc.equal(ids, want))
+
+        corpus = read_corpus_from_documents(sf_dir)
+        build_index(
+            corpus.map_batches(lambda b: _parity(b, 0), batch_format="pyarrow"),
+            out, num_parts=6, analyzer="simple",
+            analyzer_concurrency=(1, 4), source=sf_dir,
+        )
+        add_documents(
+            out,
+            corpus.map_batches(lambda b: _parity(b, 1), batch_format="pyarrow"),
+            num_parts=4, analyzer_concurrency=(1, 4),
+        )
+    res = run_queries(out, _BM25_QUERIES, mode="wand", concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_bm25_and_nostem(sf_dir: str):
     """Conjunctive (AND) BM25 over the simple-analyzer index."""
     from engine.query import run_queries
@@ -784,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_stats": _q_collection_stats,
         "bm25_topk_nostem": _q_bm25_topk_nostem,
         "bm25_delete_nostem": _q_bm25_delete_nostem,
+        "bm25_incremental": _q_bm25_incremental,
         "bm25_and_nostem": _q_bm25_and_nostem,
         "bm25_not_nostem": _q_bm25_not_nostem,
         "bm25_prefix_nostem": _q_bm25_prefix_nostem,
@@ -1339,6 +1392,7 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
         ),
         "bm25_topk_nostem": _bm25_sql(),
         "bm25_delete_nostem": _bm25_sql(exclude_ids=_DELETE_SRC_IDS),
+        "bm25_incremental": _bm25_sql(),
         "bm25_and_nostem": _bm25_sql(conjunctive=True),
         "bm25_not_nostem": _bm25_not_sql(),
         "bm25_prefix_nostem": _bm25_expand_sql(_PREFIX_QUERIES, "prefix"),

@@ -194,6 +194,93 @@ def _merge_stage(out_dir: str, analyzer: str, run_summary, remaining,
     ).materialize()
 
 
+def add_documents(
+    index_dir: str,
+    corpus: "ray.data.Dataset",
+    num_parts: int = 16,
+    resume: bool = False,
+    analyzer_concurrency=(1, 32),
+    analyzer_batch_size: int | None = 4096,
+    merge_num_cpus: float = 2.0,
+    merge_tasks: int | None = None,
+) -> dict:
+    """Incrementally add documents to an EXISTING index (Lucene-style
+    delta generation — no rebuild of existing segments).
+
+    The new docs are built into ``num_parts`` fresh segments appended
+    after the current ones; the build manifest records the new
+    GENERATION (first_seg_id, num_parts) so point lookups keep their
+    closed-form location rule (checkpoint.generations).  Global
+    statistics (N, avgdl, per-term df/cf) are then re-finalized over
+    ALL segments — the same vocabulary-partials groupby a fresh build
+    runs, so BM25 scores after an add are EXACTLY those of a full
+    rebuild over the union corpus (rank identity tested in
+    tests/test_incremental.py).  The exchange cost of an add is
+    O(|new docs|) analysis + one vocabulary-sized aggregate — it never
+    touches existing postings.
+
+    Precondition: added doc keys (repo, path, commit) must not already
+    exist in the index — updating a doc is ``maintenance.delete_docs``
+    (tombstone) followed by ``add_documents`` with the new content,
+    then ``maintenance.compact_index`` at leisure.  A key collision
+    would leave the same doc_id live in two generations (both score;
+    lookups prefer the oldest) — exactly Lucene's
+    deleted-but-not-merged state, resolved by compaction.
+
+    ``resume=True`` finishes an interrupted add: if the manifest's
+    LAST generation has uncommitted parts, that generation (with its
+    recorded num_parts) is completed instead of opening a new one —
+    re-run with the SAME corpus; segment bytes are deterministic, so
+    the result is identical to an uninterrupted add.
+    """
+    t0 = time.perf_counter()
+    man = checkpoint.read_build_manifest(index_dir)
+    analyzer = man["analyzer"]
+    gens = checkpoint.generations(man)
+    done = checkpoint.completed_parts(index_dir)
+    last_start, last_parts = gens[-1]
+    last_missing = set(range(last_start, last_start + last_parts)) - done
+    if last_missing and not resume:
+        raise ValueError(
+            f"{index_dir}: generation at segment {last_start} is incomplete "
+            f"({len(last_missing)} parts missing); pass resume=True to finish "
+            "it (with the same corpus) before adding more"
+        )
+    if resume and last_missing:
+        start, q = last_start, last_parts  # finish the interrupted add
+    else:
+        q = num_parts
+        start = checkpoint.append_generation(index_dir, q)
+    remaining = sorted(set(range(start, start + q)) - done)
+
+    if remaining:
+        shutil.rmtree(os.path.join(index_dir, "runs"), ignore_errors=True)
+        ds = corpus.map_batches(
+            lambda b: assign_ids(b, q, part_offset=start), batch_format="pyarrow"
+        )
+        if len(remaining) < q:
+            todo = pa.array(remaining, pa.int32())
+
+            def keep_remaining(batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.is_in(batch.column("part"), value_set=todo))
+
+            ds = ds.map_batches(keep_remaining, batch_format="pyarrow")
+        run_summary = ds.map_batches(
+            AnalyzeWriteRuns,
+            fn_constructor_kwargs={"analyzer": analyzer, "out_dir": index_dir},
+            batch_format="pyarrow",
+            batch_size=analyzer_batch_size,
+            concurrency=analyzer_concurrency,
+        ).take_all()
+        _merge_stage(index_dir, analyzer, run_summary, remaining,
+                     merge_num_cpus, merge_tasks)
+        shutil.rmtree(os.path.join(index_dir, "runs"), ignore_errors=True)
+
+    stats = finalize_stats(index_dir)
+    stats["add_wall_seconds"] = round(time.perf_counter() - t0, 3)
+    return stats
+
+
 def merge_indexes(
     index_dirs: list[str],
     out_dir: str,

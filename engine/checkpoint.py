@@ -36,7 +36,9 @@ def write_build_manifest(out_dir: str, num_parts: int, analyzer: str, source: st
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-        if prev != cfg:
+        # compare the BASE config only: an incrementally-extended index
+        # additionally carries a "generations" list (add_documents)
+        if {k: prev.get(k) for k in cfg} != cfg:
             raise ValueError(
                 f"resume config mismatch: index at {out_dir} was built with "
                 f"{prev}, now asked for {cfg}; use a fresh out_dir"
@@ -46,6 +48,37 @@ def write_build_manifest(out_dir: str, num_parts: int, analyzer: str, source: st
     with open(tmp, "w") as f:
         json.dump(cfg, f, indent=1, sort_keys=True)
     os.rename(tmp, path)
+
+
+def generations(manifest: dict) -> list[tuple[int, int]]:
+    """Segment GENERATIONS of an index: [(first_seg_id, num_parts)].
+
+    A fresh build is one generation [(0, P)]; each ``add_documents``
+    call appends one.  Within a generation, a doc lives in segment
+    ``first_seg_id + doc_id % num_parts`` — the closed-form location
+    rule the point lookups (more_like_this) rely on."""
+    gens = manifest.get("generations")
+    if gens:
+        return [(int(s), int(p)) for s, p in gens]
+    return [(0, int(manifest["num_parts"]))]
+
+
+def append_generation(out_dir: str, parts: int) -> int:
+    """Record one more segment generation; returns its first segment
+    id.  Written BEFORE the generation's segments are built, so an
+    interrupted add_documents is visible (last generation has missing
+    parts) and resumable."""
+    path = os.path.join(out_dir, BUILD_MANIFEST)
+    with open(path) as f:
+        man = json.load(f)
+    gens = [list(g) for g in generations(man)]
+    start = gens[-1][0] + gens[-1][1]
+    man["generations"] = gens + [[start, parts]]
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    os.rename(tmp, path)
+    return start
 
 
 def read_build_manifest(out_dir: str) -> dict:

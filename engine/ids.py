@@ -29,12 +29,13 @@ def doc_id_of(repo: str, path: str, commit: str) -> int:
     return int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
 
 
-def assign_ids(batch: pa.Table, num_parts: int) -> pa.Table:
+def assign_ids(batch: pa.Table, num_parts: int, part_offset: int = 0) -> pa.Table:
     """map_batches fn: corpus batch -> + doc_id, content_sha256, part.
 
-    part = doc_id % num_parts: doc_id is a hash, so partitions are
-    uniform regardless of term/content skew (SURVEY.md SS4.2 rationale
-    in engine/__init__.py).
+    part = part_offset + doc_id % num_parts: doc_id is a hash, so
+    partitions are uniform regardless of term/content skew (SURVEY.md
+    SS4.2 rationale in engine/__init__.py).  ``part_offset`` shifts the
+    range for incremental generations (engine.build.add_documents).
     """
     repo = batch.column("repo").to_pylist()
     path = batch.column("path").to_pylist()
@@ -49,6 +50,7 @@ def assign_ids(batch: pa.Table, num_parts: int) -> pa.Table:
     batch = batch.append_column("doc_id", pa.array(ids, pa.int64()))
     batch = batch.append_column("content_sha256", pa.array(shas, pa.string()))
     batch = batch.append_column(
-        "part", pa.array((ids % num_parts).astype(np.int32), pa.int32())
+        "part",
+        pa.array((part_offset + ids % num_parts).astype(np.int32), pa.int32()),
     )
     return batch

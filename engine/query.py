@@ -134,7 +134,11 @@ class IndexReader:
     def __init__(self, index_dir: str, max_open_segments: int = 64):
         self.index_dir = index_dir
         self.stats = read_collection_stats(index_dir)
-        self.analyzer_name = read_build_manifest(index_dir)["analyzer"]
+        manifest = read_build_manifest(index_dir)
+        self.analyzer_name = manifest["analyzer"]
+        from .checkpoint import generations
+
+        self.generations = generations(manifest)
         self.analyzer = analysis.get_analyzer(self.analyzer_name)
         self.num_docs = int(self.stats["num_docs"])
         self.avg_doc_len = float(self.stats["avg_doc_len"]) or 1.0
@@ -360,6 +364,23 @@ class IndexReader:
             raise ValueError(f"unknown match {match!r}")
         return hits
 
+    def locate(self, doc_id: int) -> tuple[int, int] | None:
+        """(seg_id, ordinal) of a doc — O(generations) point lookup:
+        within each generation a doc can only live in segment
+        ``gen_start + doc_id % gen_parts`` (the build's partitioning
+        rule), so location is one searchsorted per generation, oldest
+        first (matching D1's keep-first preference if a key was ever
+        re-added without a delete)."""
+        for g_start, g_parts in self.generations:
+            seg_id = g_start + doc_id % g_parts
+            if seg_id >= len(self.segment_paths):
+                continue
+            seg = self.segment(seg_id)
+            o = int(np.searchsorted(seg.doc_ids, doc_id))
+            if o < seg.num_docs and int(seg.doc_ids[o]) == doc_id:
+                return seg_id, o
+        return None
+
     def more_like_this(self, doc_id: int, k: int = 10,
                        max_terms: int = 10) -> list[dict]:
         """Similar documents: BM25 with the source doc's top terms.
@@ -371,11 +392,11 @@ class IndexReader:
         without fwd.parquet fall back to a vocabulary scan.  The source
         doc itself naturally ranks first and is excluded.
         """
-        part = doc_id % len(self.segment_paths)
-        seg = self.segment(part)
-        o = int(np.searchsorted(seg.doc_ids, doc_id))
-        if o >= seg.num_docs or int(seg.doc_ids[o]) != doc_id:
+        loc = self.locate(doc_id)
+        if loc is None:
             raise KeyError(f"doc_id {doc_id} not in index")
+        seg = self.segment(loc[0])
+        o = loc[1]
         fwd = seg.fwd_terms(doc_id)
         cand = []
         if fwd is not None:
