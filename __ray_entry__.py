@@ -264,6 +264,31 @@ def _q_bm25_incremental(sf_dir: str):
     )
 
 
+def _q_bm25_lang_nostem(sf_dir: str):
+    """Metadata-filtered BM25 (docs restricted to lang='en'; stats and
+    idf stay collection-wide — Lucene filter-query semantics).  The
+    disallowed ordinals are excluded inside the vectorized exhaustive
+    scorer before the top-k cut, so filtered ranks are exact."""
+    from engine.query import run_queries
+
+    out = _build_simple_index(sf_dir)
+    res = run_queries(out, _BM25_QUERIES, filter_lang="en", concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_bm25_and_nostem(sf_dir: str):
     """Conjunctive (AND) BM25 over the simple-analyzer index."""
     from engine.query import run_queries
@@ -372,6 +397,22 @@ def _q_bm25_fuzzy_nostem(sf_dir: str):
     Levenshtein distance 1 / 2 — engine.analysis.split_fuzzy syntax),
     simple analyzer; banded-Levenshtein per-segment expansion."""
     return _q_bm25_expand(sf_dir, _FUZZY_QUERIES, "fuzzy")
+
+
+_REGEX_QUERIES = [
+    {"query_id": 0, "text": "cust.*", "k": 10},
+    {"query_id": 1, "text": "(join|hash)", "k": 10},
+    {"query_id": 2, "text": "dat[a-z]*", "k": 10},
+    {"query_id": 3, "text": "zzz.*", "k": 10},
+]
+
+
+def _q_bm25_regex_nostem(sf_dir: str):
+    """Regex term query: the query text is one pattern; disjunctive
+    BM25 over all fully-matching dictionary terms (per-segment
+    dictionary scan, cached).  Patterns restricted to the syntax subset
+    Python re and DuckDB RE2 share."""
+    return _q_bm25_expand(sf_dir, _REGEX_QUERIES, "regex")
 
 
 _PHRASE_QUERIES = [
@@ -625,6 +666,17 @@ def _q_spell_suggest(sf_dir: str):
     return spell.spell_suggest(sf_dir, _SPELL_QTERMS, max_dist=2)
 
 
+_SUGGEST_PREFIXES = ["cu", "s", "th", "zzz", "m"]
+
+
+def _q_suggest_terms(sf_dir: str):
+    """Query autocompletion: top-5 vocabulary terms per prefix by
+    collection frequency (partial-top-k pass; engine.spell)."""
+    from engine import spell
+
+    return spell.suggest_terms(sf_dir, _SUGGEST_PREFIXES, k=5)
+
+
 def _q_quality_scores(sf_dir: str):
     from engine import textanalysis
 
@@ -837,10 +889,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_nostem": _q_bm25_topk_nostem,
         "bm25_delete_nostem": _q_bm25_delete_nostem,
         "bm25_incremental": _q_bm25_incremental,
+        "bm25_lang_nostem": _q_bm25_lang_nostem,
         "bm25_and_nostem": _q_bm25_and_nostem,
         "bm25_not_nostem": _q_bm25_not_nostem,
         "bm25_prefix_nostem": _q_bm25_prefix_nostem,
         "bm25_fuzzy_nostem": _q_bm25_fuzzy_nostem,
+        "bm25_regex_nostem": _q_bm25_regex_nostem,
         "bm25_phrase_nostem": _q_bm25_phrase_nostem,
         "verify_invariant": _q_verify_invariant,
         "groupby_lineitem": _q_groupby_lineitem,
@@ -862,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "repetition_scores": _q_repetition_scores,
         "spell_suggest": _q_spell_suggest,
+        "suggest_terms": _q_suggest_terms,
         "facet_counts": _q_facet_counts,
         "rank_documents": _q_rank_documents,
         "snippets": _q_snippets,
@@ -900,7 +955,8 @@ _TOK = (
 _TOK2 = f"SELECT doc_id, term FROM ({_TOK}) WHERE term <> ''"
 
 
-def _bm25_sql(conjunctive: bool = False, exclude_ids: list[int] | None = None) -> str:
+def _bm25_sql(conjunctive: bool = False, exclude_ids: list[int] | None = None,
+              lang: str | None = None) -> str:
     vals = []
     for q in _BM25_QUERIES:
         seen = []
@@ -942,11 +998,12 @@ scores AS (
   GROUP BY q.query_id, tf.doc_id
 ),
 ranked AS (
-  SELECT scores.query_id, doc_id, score,
+  SELECT scores.query_id, scores.doc_id, score,
          row_number() OVER (PARTITION BY scores.query_id
-                            ORDER BY score DESC, doc_id) AS rank
+                            ORDER BY score DESC, scores.doc_id) AS rank
   FROM scores {and_filter}
-  {f"WHERE doc_id NOT IN ({', '.join(map(str, exclude_ids))})" if exclude_ids else ""}
+  {f"JOIN documents fd ON fd.doc_id = scores.doc_id AND fd.lang = '{lang}'" if lang else ""}
+  {f"WHERE scores.doc_id NOT IN ({', '.join(map(str, exclude_ids))})" if exclude_ids else ""}
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
@@ -1026,9 +1083,12 @@ def _bm25_expand_sql(queries, kind: str) -> str:
 
     evals, pvals = [], []
     for q in queries:
-        plain_text, pats = (
-            split_wildcard(q["text"]) if kind == "prefix" else split_fuzzy(q["text"])
-        )
+        if kind == "prefix":
+            plain_text, pats = split_wildcard(q["text"])
+        elif kind == "regex":
+            plain_text, pats = "", [q["text"].strip()]
+        else:
+            plain_text, pats = split_fuzzy(q["text"])
         seen: list[str] = []
         for t in plain_text.split(" "):
             t = t.lower()
@@ -1039,6 +1099,8 @@ def _bm25_expand_sql(queries, kind: str) -> str:
         for p in pats:
             if kind == "prefix":
                 pvals.append(f"({q['query_id']}, '{p}', 0)")
+            elif kind == "regex":
+                pvals.append("({}, '{}', 0)".format(q["query_id"], p.replace("'", "''")))
             else:
                 pvals.append(f"({q['query_id']}, '{p[0]}', {p[1]})")
     # DuckDB rejects empty VALUES: fall back to a row-free SELECT
@@ -1052,11 +1114,11 @@ def _bm25_expand_sql(queries, kind: str) -> str:
         if pvals
         else "qp(query_id, pat, d) AS (SELECT 0, '', 0 WHERE false)"
     )
-    cond = (
-        "starts_with(dft.term, qp.pat)"
-        if kind == "prefix"
-        else "levenshtein(dft.term, qp.pat) <= qp.d"
-    )
+    cond = {
+        "prefix": "starts_with(dft.term, qp.pat)",
+        "regex": "regexp_full_match(dft.term, qp.pat)",
+        "fuzzy": "levenshtein(dft.term, qp.pat) <= qp.d",
+    }[kind]
     return f"""
 WITH tok2 AS ({_TOK2}),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
@@ -1393,10 +1455,12 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
         "bm25_topk_nostem": _bm25_sql(),
         "bm25_delete_nostem": _bm25_sql(exclude_ids=_DELETE_SRC_IDS),
         "bm25_incremental": _bm25_sql(),
+        "bm25_lang_nostem": _bm25_sql(lang="en"),
         "bm25_and_nostem": _bm25_sql(conjunctive=True),
         "bm25_not_nostem": _bm25_not_sql(),
         "bm25_prefix_nostem": _bm25_expand_sql(_PREFIX_QUERIES, "prefix"),
         "bm25_fuzzy_nostem": _bm25_expand_sql(_FUZZY_QUERIES, "fuzzy"),
+        "bm25_regex_nostem": _bm25_expand_sql(_REGEX_QUERIES, "regex"),
         "bm25_phrase_nostem": _phrase_sql(),
         "more_like_this": _more_like_this_sql(),
         "groupby_lineitem": (
@@ -1601,6 +1665,19 @@ ranked AS (
 SELECT qterm, suggestion, CAST(distance AS BIGINT) AS distance,
        CAST(cf AS BIGINT) AS cf
 FROM ranked WHERE rn = 1
+""",
+        "suggest_terms": f"""
+WITH vocab AS (SELECT term, count(*) AS cf FROM ({_TOK2}) GROUP BY term),
+p(prefix) AS (VALUES {", ".join(f"('{x}')" for x in _SUGGEST_PREFIXES)}),
+ranked AS (
+  SELECT p.prefix, v.term, v.cf,
+         row_number() OVER (
+           PARTITION BY p.prefix ORDER BY v.cf DESC, v.term
+         ) AS rank
+  FROM p JOIN vocab v ON starts_with(v.term, p.prefix)
+)
+SELECT prefix, CAST(rank AS BIGINT) AS rank, term, CAST(cf AS BIGINT) AS cf
+FROM ranked WHERE rank <= 5
 """,
         "repetition_scores": """
 WITH tok AS (

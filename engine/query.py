@@ -157,6 +157,8 @@ class IndexReader:
         self._max_open_segments = max(1, max_open_segments)
         # fuzzy-expansion memo: (segment path, base, d) -> [terms]
         self._fuzzy_cache: dict[tuple[str, str, int], list[str]] = {}
+        # filtered-search exclusion memo: (segment path, lang) -> ords
+        self._lang_excl_cache: dict[tuple[str, str], np.ndarray] = {}
         # decoded-postings cache budget, split across the OPEN-segment
         # bound (not total segment count); the floor keeps each open
         # segment's Zipf-head terms resident (below it the cache
@@ -247,18 +249,42 @@ class IndexReader:
         self._fuzzy_cache[key] = out
         return out
 
+    def _expand_regex(self, seg: Segment, pattern: str) -> list[str]:
+        """Index terms FULLY matching ``pattern`` (index terms are
+        lowercase — write patterns accordingly), dictionary order.
+        One compiled-regex scan over the segment dictionary, cached per
+        (segment, pattern) — the Lucene-automaton equivalent without a
+        DFA intersection (the dictionary is the small side: |vocab| per
+        segment, not |postings|)."""
+        import re
+
+        key = (seg.path, "\x00re:" + pattern, 0)
+        hit = self._fuzzy_cache.get(key)
+        if hit is not None:
+            return hit
+        rx = re.compile(pattern)
+        out = [t for t in seg.terms if rx.fullmatch(t)]
+        if len(self._fuzzy_cache) >= 4096:
+            self._fuzzy_cache.clear()
+        self._fuzzy_cache[key] = out
+        return out
+
     def qterms_expanded(
         self, seg: Segment, text: str, kind: str
     ) -> list[tuple[str, float]]:
-        """[(term, idf)] for prefix / fuzzy queries: plain analyzed
-        terms first (global-df gated, first-occurrence order — same as
-        qterms), then per wildcard token in query order its segment
-        expansion in dictionary order, deduped against everything
-        already emitted.  idf always comes from the GLOBAL df, so every
-        segment scores an expanded term identically."""
+        """[(term, idf)] for prefix / fuzzy / regex queries: plain
+        analyzed terms first (global-df gated, first-occurrence order —
+        same as qterms), then per wildcard token in query order its
+        segment expansion in dictionary order, deduped against
+        everything already emitted.  idf always comes from the GLOBAL
+        df, so every segment scores an expanded term identically.  For
+        "regex" the WHOLE query text is one pattern (no plain terms)."""
         if kind == "prefix":
             plain_text, pats = analysis.split_wildcard(text)
             expand = lambda p: self._expand_prefix(seg, p)  # noqa: E731
+        elif kind == "regex":
+            plain_text, pats = "", [text.strip()]
+            expand = lambda p: self._expand_regex(seg, p)  # noqa: E731
         else:
             plain_text, pats = analysis.split_fuzzy(text)
             expand = lambda p: self._expand_fuzzy(seg, p[0], p[1])  # noqa: E731
@@ -281,9 +307,22 @@ class IndexReader:
                 )
         return out
 
+    def _lang_exclude(self, seg: Segment, lang: str) -> np.ndarray:
+        """Segment-local ordinals whose doc lang != ``lang`` (the
+        exclude-array form wand.exhaustive_topk consumes), cached per
+        (segment, lang) — bounded by open segments x langs queried."""
+        key = (seg.path, lang)
+        hit = self._lang_excl_cache.get(key)
+        if hit is None:
+            if len(self._lang_excl_cache) >= 256:
+                self._lang_excl_cache.clear()
+            hit = np.flatnonzero(seg.langs() != lang)
+            self._lang_excl_cache[key] = hit
+        return hit
+
     def score_segment(
         self, seg_id: int, text: str, k: int, mode: str = "auto",
-        match: str = "any",
+        match: str = "any", filter_lang: str | None = None,
     ) -> list[tuple[int, float]]:
         """Per-(query, segment) top-k -> [(doc_id, score)] best-first.
 
@@ -295,8 +334,16 @@ class IndexReader:
         ('term*' tokens expand to all index terms with that prefix —
         analysis.split_wildcard syntax), "fuzzy" ('term~' / 'term~2'
         tokens expand to index terms within Levenshtein distance 1 / 2
-        — analysis.split_fuzzy syntax).  Expanded modes score
-        disjunctively; each expanded term keeps its own global idf.
+        — analysis.split_fuzzy syntax), "regex" (the whole query text
+        is one pattern; docs scoring any fully-matching index term).
+        Expanded modes score disjunctively; each expanded term keeps
+        its own global idf.
+
+        ``filter_lang``: restrict results to docs of one language
+        (metadata-filtered search).  Supported for disjunctive queries
+        only; the disallowed ordinals are excluded BEFORE the top-k cut
+        inside the vectorized exhaustive scorer, so filtered ranks are
+        exact (never an over-fetch heuristic).
 
         Tombstoned docs never appear in results: every mode over-fetches
         k + |tombstones in this segment| (at most that many of the head
@@ -307,11 +354,13 @@ class IndexReader:
         seg = self.segment(seg_id)
         tomb = self._seg_tombstones(seg_id, seg)
         if tomb:
-            hits = self._score_segment_inner(seg, text, k + len(tomb), mode, match)
+            hits = self._score_segment_inner(
+                seg, text, k + len(tomb), mode, match, filter_lang
+            )
             return [
                 (int(seg.doc_ids[o]), s) for o, s in hits if o not in tomb
             ][:k]
-        hits = self._score_segment_inner(seg, text, k, mode, match)
+        hits = self._score_segment_inner(seg, text, k, mode, match, filter_lang)
         return [(int(seg.doc_ids[o]), s) for o, s in hits]
 
     def _seg_tombstones(self, seg_id: int, seg) -> "frozenset | None":
@@ -323,8 +372,22 @@ class IndexReader:
         return self._tomb_ords[seg_id]
 
     def _score_segment_inner(
-        self, seg, text: str, k: int, mode: str, match: str
+        self, seg, text: str, k: int, mode: str, match: str,
+        filter_lang: str | None = None,
     ) -> list[tuple[int, float]]:
+        if filter_lang is not None:
+            if match != "any":
+                raise ValueError(
+                    "filter_lang is supported for disjunctive (match='any') "
+                    f"queries, not match={match!r}"
+                )
+            qt = self.qterms(text)
+            if not qt:
+                return []
+            return wand.exhaustive_topk(
+                seg, qt, k, self.avg_doc_len,
+                exclude=self._lang_exclude(seg, filter_lang),
+            )
         if match == "not":
             pos_text, neg_text = analysis.split_signed(text)
             qt = self.qterms(pos_text)
@@ -343,7 +406,7 @@ class IndexReader:
                 return []
             seq = list(self.analyzer(text))
             hits = wand.phrase_topk(seg, seq, qt, k, self.avg_doc_len)
-        elif match in ("prefix", "fuzzy"):
+        elif match in ("prefix", "fuzzy", "regex"):
             qt = self.qterms_expanded(seg, text, match)
             if not qt:
                 return []
@@ -447,12 +510,14 @@ class IndexReader:
         return out
 
     def search(self, text: str, k: int = 10, mode: str = "auto",
-               match: str = "any") -> list[dict]:
+               match: str = "any", filter_lang: str | None = None) -> list[dict]:
         """Single-process search across all segments (serving / latency
         benchmarks; same kernels as the distributed path)."""
         cand: list[tuple[float, int, int]] = []  # (score, doc_id, seg_id)
         for seg_id in range(len(self.segment_paths)):
-            for doc_id, score in self.score_segment(seg_id, text, k, mode, match):
+            for doc_id, score in self.score_segment(
+                seg_id, text, k, mode, match, filter_lang
+            ):
                 cand.append((score, doc_id, seg_id))
         cand.sort(key=lambda c: (-c[0], c[1]))
         out = []
@@ -477,10 +542,12 @@ class SegmentScorer:
     seg_lo, seg_hi) segment-range work items and emits per-(query,
     segment) partial top-k rows."""
 
-    def __init__(self, index_dir: str, mode: str = "auto", match: str = "any"):
+    def __init__(self, index_dir: str, mode: str = "auto", match: str = "any",
+                 filter_lang: str | None = None):
         self.reader = IndexReader(index_dir)
         self.mode = mode
         self.match = match
+        self.filter_lang = filter_lang
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("query_id").to_pylist()
@@ -494,7 +561,7 @@ class SegmentScorer:
           for seg_id in range(lo, hi):
             seg = rd.segment(seg_id)
             for doc_id, score in rd.score_segment(
-                seg_id, text, k, self.mode, self.match
+                seg_id, text, k, self.mode, self.match, self.filter_lang
             ):
                 o = int(np.searchsorted(seg.doc_ids, doc_id))
                 o_qid.append(qid)
@@ -544,6 +611,7 @@ def run_queries(
     match: str = "any",
     concurrency=(1, 16),
     batch_size: int = 64,
+    filter_lang: str | None = None,
 ) -> "ray.data.Dataset":
     """Distributed query evaluation -> Dataset with RESULTS schema.
 
@@ -586,7 +654,10 @@ def run_queries(
 
     scored = queries.flat_map(cross).map_batches(
         SegmentScorer,
-        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode, "match": match},
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "mode": mode, "match": match,
+            "filter_lang": filter_lang,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -102,6 +102,25 @@ class RefIndex:
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
 
+    def topk_lang(self, text: str, k: int = 10, lang: str = "") -> list[tuple[int, float]]:
+        """Disjunctive BM25 restricted to docs of one language
+        (metadata-filtered search); stats/idf stay collection-wide."""
+        terms = self.analyze_query(text)
+        scores: dict[int, float] = {}
+        for t in terms:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            idf_t = bm25.idf(len(plist), self.num_docs)
+            for did, tf in plist:
+                if self.doc_meta[did]["lang"] != lang:
+                    continue
+                scores[did] = scores.get(did, 0.0) + idf_t * bm25.tf_part(
+                    float(tf), float(self.doc_len[did]), self.avg_doc_len
+                )
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+        return ranked[:k]
+
     def topk_not(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Boolean NOT: '-term' tokens exclude every doc containing
         that term; scoring is disjunctive BM25 over the unsigned terms
@@ -139,6 +158,8 @@ class RefIndex:
         sums agree exactly)."""
         if kind == "prefix":
             plain_text, pats = analysis.split_wildcard(text)
+        elif kind == "regex":
+            plain_text, pats = "", [text.strip()]
         else:
             plain_text, pats = analysis.split_fuzzy(text)
         seen: set[str] = set()
@@ -159,6 +180,11 @@ class RefIndex:
                     if not vocab[i].startswith(pat):
                         break
                     exp.append(vocab[i])
+            elif kind == "regex":
+                import re
+
+                rx = re.compile(pat)
+                exp = [t for t in vocab if rx.fullmatch(t)]
             else:
                 from .spell import _lev
 
@@ -190,6 +216,11 @@ class RefIndex:
         """Fuzzy terms: 'term~' / 'term~2' expand to vocabulary terms
         within Levenshtein distance 1 / 2 (split_fuzzy syntax)."""
         return self._topk_expanded(text, k, "fuzzy")
+
+    def topk_regex(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Regex term query: the whole text is one pattern; disjunctive
+        BM25 over every fully-matching vocabulary term."""
+        return self._topk_expanded(text, k, "regex")
 
     def _score_docs(self, terms: list[str], docs: set[int]) -> list[tuple[int, float]]:
         """BM25-score the given docs over ``terms`` (analyzed order)."""

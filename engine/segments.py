@@ -378,6 +378,16 @@ class Segment:
         self._fwd_rg_max: np.ndarray | None = None
         self._fwd_rg_cache: tuple[int, pa.Table] | None = None
 
+    def langs(self) -> np.ndarray:
+        """Per-ordinal doc language (lazy; filtered-search masks).  Not
+        loaded in __init__ — only filtered queries pay for it."""
+        if getattr(self, "_langs", None) is None:
+            t = pq.read_table(
+                os.path.join(self.path, "docs.parquet"), columns=["lang"]
+            )
+            self._langs = t.column("lang").to_numpy(zero_copy_only=False)
+        return self._langs
+
     def term_lens(self) -> np.ndarray:
         """Per-dictionary-row term lengths (lazy; fuzzy-expansion
         length-window prefilter)."""

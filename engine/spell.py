@@ -118,3 +118,63 @@ def spell_suggest(
         probe, batch_format="pyarrow"
     )
     return cands.groupby("qterm").map_groups(best, batch_format="pyarrow")
+
+
+_SUGGEST_SCHEMA = pa.schema(
+    [
+        ("prefix", pa.string()),
+        ("rank", pa.int64()),
+        ("term", pa.string()),
+        ("cf", pa.int64()),
+    ]
+)
+
+
+def suggest_terms(sf_dir: str, prefixes: list[str], k: int = 5) -> pa.Table:
+    """Query autocompletion: top-``k`` vocabulary terms per prefix by
+    collection frequency (cf desc, term asc — deterministic).
+
+    One streaming pass over the (term, cf) aggregate: each batch emits
+    per-prefix PARTIAL top-k rows (pyarrow starts_with over the term
+    column), so the only data reaching the driver is
+    <= k x |prefixes| x blocks candidate rows — never the vocabulary
+    (CLAUDE.md all-to-all rule: no sort/groupby added for a
+    vocabulary-sized table)."""
+    import pyarrow.compute as pc
+
+    from .textstats import term_stats
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term")
+        cfs = batch.column("cf").to_numpy()
+        rows = []
+        for p in prefixes:
+            idx = np.flatnonzero(
+                pc.starts_with(terms, p).to_numpy(zero_copy_only=False)
+            )
+            if not idx.size:
+                continue
+            tl = terms.take(pa.array(idx)).to_pylist()
+            sub = cfs[idx]
+            order = sorted(range(len(tl)), key=lambda i: (-sub[i], tl[i]))[:k]
+            for i in order:
+                rows.append(
+                    {"prefix": p, "rank": 0, "term": tl[i], "cf": int(sub[i])}
+                )
+        return pa.Table.from_pylist(rows, schema=_SUGGEST_SCHEMA)
+
+    parts = (
+        term_stats(sf_dir)
+        .select_columns(["term", "cf"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    by_p: dict[str, list] = {}
+    for r in parts:
+        by_p.setdefault(r["prefix"], []).append(r)
+    out = []
+    for p in prefixes:
+        cand = sorted(by_p.get(p, []), key=lambda r: (-r["cf"], r["term"]))[:k]
+        for rank, r in enumerate(cand, 1):
+            out.append({"prefix": p, "rank": rank, "term": r["term"], "cf": r["cf"]})
+    return pa.Table.from_pylist(out, schema=_SUGGEST_SCHEMA)

@@ -207,3 +207,47 @@ def test_distributed_prefix_fuzzy(built_index):
         want = ref.topk_prefix(q["text"], q["k"])
         got = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
         assert [r["doc_id"] for r in got] == [d for d, _ in want], q["text"]
+
+
+_REGEX_QUERIES = [
+    r"pa.*",                # prefix-shaped pattern
+    r"(giga|fepa)",         # alternation
+    r"[fd]u.u",             # character classes
+    r"zzz.*",               # no match
+    r"\d+",                 # digit-only terms
+]
+
+
+def test_regex_rank_identity(built_index):
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    n_nonempty = 0
+    for text in _REGEX_QUERIES:
+        want = ref.topk_regex(text, 10)
+        got = _pairs(rd.search(text, 10, match="regex"))
+        _assert_same(got, want, text)
+        n_nonempty += bool(want)
+    assert n_nonempty >= 3
+
+
+def test_lang_filter_rank_identity(built_index):
+    """Metadata-filtered search == refimpl restricted to that lang."""
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    n_nonempty = 0
+    for q in built_index["queries"][:6]:
+        for lang in ("py", "go"):
+            want = ref.topk_lang(q["text"], q["k"], lang)
+            got = _pairs(rd.search(q["text"], q["k"], filter_lang=lang))
+            _assert_same(got, want, (q["text"], lang))
+            n_nonempty += bool(want)
+    assert n_nonempty >= 6
+    # every hit really is in the filtered language
+    hits = rd.search(built_index["queries"][0]["text"], 10, filter_lang="go")
+    langs = {ref.doc_meta[h["doc_id"]]["lang"] for h in hits}
+    assert langs <= {"go"}
+    # unsupported combination is an explicit error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="filter_lang"):
+        rd.search("alpha beta", 5, match="all", filter_lang="py")

@@ -66,3 +66,29 @@ def test_spell_suggest_vs_brute(ray_session, sf_dir):
             assert got[q] == want, q
     assert got["hash"][1] == 0          # in-vocab term suggests itself
     assert "zzzzzz" not in got          # nothing within distance 2
+
+
+def test_suggest_terms_vs_brute(ray_session, sf_dir):
+    import duckdb
+
+    from engine.spell import suggest_terms
+
+    vocab_cf = dict(
+        duckdb.sql(
+            f"""SELECT term, count(*) FROM (
+                  SELECT lower(unnest(string_split(text, ' '))) AS term
+                  FROM read_parquet('{sf_dir}/documents.parquet'))
+                WHERE term <> '' GROUP BY term"""
+        ).fetchall()
+    )
+    prefixes = ["cu", "s", "zzz", "", "m"]
+    got = suggest_terms(sf_dir, prefixes, k=3).to_pylist()
+    for p in prefixes:
+        want = sorted(
+            ((t, c) for t, c in vocab_cf.items() if t.startswith(p)),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        mine = [(r["term"], r["cf"]) for r in got if r["prefix"] == p]
+        assert mine == want, p
+        ranks = [r["rank"] for r in got if r["prefix"] == p]
+        assert ranks == list(range(1, len(want) + 1))
