@@ -264,6 +264,41 @@ def _q_bm25_incremental(sf_dir: str):
     )
 
 
+# Multi-term queries only: single-term sqrt(tf)/sqrt(dl) scores tie
+# easily (same tf, same dl), and engine/oracle tie-breaks differ
+# (internal vs source doc_id) — same rule as the fuzzy query set.
+_TFIDF_QUERIES = [
+    {"query_id": 0, "text": "join hash", "k": 10},
+    {"query_id": 1, "text": "scan filter batch", "k": 10},
+    {"query_id": 2, "text": "customer order data row", "k": 10},
+    {"query_id": 3, "text": "zzz_not_a_term", "k": 10},
+    {"query_id": 4, "text": "merge window group", "k": 10},
+]
+
+
+def _q_tfidf_topk_nostem(sf_dir: str):
+    """Classic-TF-IDF scorer (pluggable scorer kernel): idf^2 *
+    sqrt(tf)/sqrt(dl), Lucene TFIDFSimilarity shape."""
+    from engine.query import run_queries
+
+    out = _build_simple_index(sf_dir)
+    res = run_queries(out, _TFIDF_QUERIES, scorer="tfidf", concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_bm25_lang_nostem(sf_dir: str):
     """Metadata-filtered BM25 (docs restricted to lang='en'; stats and
     idf stay collection-wide — Lucene filter-query semantics).  The
@@ -677,6 +712,14 @@ def _q_suggest_terms(sf_dir: str):
     return spell.suggest_terms(sf_dir, _SUGGEST_PREFIXES, k=5)
 
 
+def _q_split_corpus(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment by content-key
+    hash (engine.prep.split_corpus) — stable under corpus growth."""
+    from engine.prep import split_corpus
+
+    return split_corpus(sf_dir)
+
+
 def _q_quality_scores(sf_dir: str):
     from engine import textanalysis
 
@@ -890,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_delete_nostem": _q_bm25_delete_nostem,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_lang_nostem": _q_bm25_lang_nostem,
+        "tfidf_topk_nostem": _q_tfidf_topk_nostem,
         "bm25_and_nostem": _q_bm25_and_nostem,
         "bm25_not_nostem": _q_bm25_not_nostem,
         "bm25_prefix_nostem": _q_bm25_prefix_nostem,
@@ -931,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
         "corpus_prep": _q_corpus_prep,
+        "split_corpus": _q_split_corpus,
         "partitioned_write": _q_partitioned_write,
         "quantiles_lineitem": _q_quantiles,
         "broadcast_join_suppliers": _q_broadcast_join,
@@ -1004,6 +1049,51 @@ ranked AS (
   FROM scores {and_filter}
   {f"JOIN documents fd ON fd.doc_id = scores.doc_id AND fd.lang = '{lang}'" if lang else ""}
   {f"WHERE scores.doc_id NOT IN ({', '.join(map(str, exclude_ids))})" if exclude_ids else ""}
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(round(score, 4) AS DOUBLE) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _tfidf_sql() -> str:
+    """Classic-TF-IDF oracle: the BM25 CTE skeleton with score =
+    sum(idf^2 * sqrt(tf)/sqrt(dl)), idf = 1 + ln(N/(df+1))."""
+    vals = []
+    for q in _TFIDF_QUERIES:
+        seen = []
+        for t in q["text"].split(" "):
+            t = t.lower()
+            if t and t not in seen:
+                seen.append(t)
+        for t in seen:
+            vals.append(f"({q['query_id']}, '{t}')")
+    values = ", ".join(vals)
+    return f"""
+WITH tok2 AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           pow(1.0 + ln(s.n / (dft.df + 1.0)), 2)
+           * sqrt(tf.tf) / sqrt(dl.dl)
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON q.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
@@ -1456,6 +1546,7 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
         "bm25_delete_nostem": _bm25_sql(exclude_ids=_DELETE_SRC_IDS),
         "bm25_incremental": _bm25_sql(),
         "bm25_lang_nostem": _bm25_sql(lang="en"),
+        "tfidf_topk_nostem": _tfidf_sql(),
         "bm25_and_nostem": _bm25_sql(conjunctive=True),
         "bm25_not_nostem": _bm25_not_sql(),
         "bm25_prefix_nostem": _bm25_expand_sql(_PREFIX_QUERIES, "prefix"),
@@ -1665,6 +1756,22 @@ ranked AS (
 SELECT qterm, suggestion, CAST(distance AS BIGINT) AS distance,
        CAST(cf AS BIGINT) AS cf
 FROM ranked WHERE rn = 1
+""",
+        "split_corpus": """
+WITH h AS (
+  SELECT doc_id,
+    CAST(list_reduce(
+      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+          i -> CAST(unicode(CAST(doc_id AS VARCHAR)[i]) AS HUGEINT))),
+      (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616
+    ) AS UBIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+  CASE WHEN bucket < 9000 THEN 'train'
+       WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split
+FROM h
 """,
         "suggest_terms": f"""
 WITH vocab AS (SELECT term, count(*) AS cf FROM ({_TOK2}) GROUP BY term),

@@ -50,3 +50,21 @@ def upper_bound(max_tf: float, min_doc_len: float, idf_t: float, avg_doc_len: fl
     block's max tf and the GLOBAL min doc_len (tf_part increases with tf,
     decreases with dl)."""
     return idf_t * tf_part(max_tf, min_doc_len, avg_doc_len) * UB_EPS
+
+
+# ---------------------------------------------------------------------------
+# Classic TF-IDF scorer (pluggable scorer kernel, SURVEY.md SS2.10):
+# Lucene TFIDFSimilarity shape — tf' = sqrt(tf), idf = 1 + ln(N/(df+1))
+# squared, norm = 1/sqrt(dl); queryNorm omitted (rank-irrelevant
+# constant).  Same determinism contract as BM25: refimpl and the
+# vectorized kernel use these ops in this order.
+# ---------------------------------------------------------------------------
+
+
+def tfidf_idf(df: int, num_docs: int) -> float:
+    return 1.0 + math.log(num_docs / (df + 1.0))
+
+
+def tfidf_part(tf: float, doc_len: float) -> float:
+    """sqrt(tf) / sqrt(dl) — the per-doc factor multiplying idf^2."""
+    return math.sqrt(tf) / math.sqrt(doc_len)

@@ -154,3 +154,46 @@ def corpus_prep(
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     ).map_batches(keep, batch_format="pyarrow")
+
+
+def split_corpus(
+    sf_dir: str, bounds: dict[str, int] | None = None, mod: int = 10_000
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment: one shuffle-free pass.
+
+    Each doc's bucket is ``fnv1a64(str(doc_id)) % mod`` — content-key
+    hashing, so the assignment is stable under re-runs, re-partitioning
+    and corpus growth (a doc never migrates between splits when other
+    docs are added, the property random sampling lacks).  ``bounds``
+    maps split name -> exclusive upper bucket bound in ascending order;
+    the default is 90/5/5:
+    ``{"train": 9000, "val": 9500, "test": 10000}``.
+
+    Output: (doc_id, bucket, split).  Exactly SQL-replicable (the
+    FNV-1a list_reduce CTE the SimHash oracles use).
+    """
+    from .functions import fnv1a64_arr
+
+    if bounds is None:
+        bounds = {"train": 9000, "val": 9500, "test": 10_000}
+    names = list(bounds)
+    cuts = np.asarray([bounds[n] for n in names], dtype=np.int64)
+    if cuts[-1] != mod or np.any(np.diff(cuts) <= 0) or cuts[0] <= 0:
+        raise ValueError(f"bounds must ascend to mod={mod}: {bounds}")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h = fnv1a64_arr([str(i) for i in ids])
+        bucket = (h % np.uint64(mod)).astype(np.int64)
+        which = np.searchsorted(cuts, bucket, side="right")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "bucket": pa.array(bucket, pa.int64()),
+                "split": pa.array([names[w] for w in which], pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(assign, batch_format="pyarrow")

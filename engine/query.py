@@ -320,9 +320,21 @@ class IndexReader:
             self._lang_excl_cache[key] = hit
         return hit
 
+    def qterms_tfidf(self, text: str) -> list[tuple[str, float]]:
+        """[(term, idf^2)] for the classic TF-IDF scorer (analyzed
+        first-occurrence order, OOV dropped)."""
+        out = []
+        for t in analyze_query(self.analyzer, text):
+            df = self.global_df.get(t, 0)
+            if df > 0:
+                i = bm25.tfidf_idf(df, self.num_docs)
+                out.append((t, i * i))
+        return out
+
     def score_segment(
         self, seg_id: int, text: str, k: int, mode: str = "auto",
         match: str = "any", filter_lang: str | None = None,
+        scorer: str = "bm25",
     ) -> list[tuple[int, float]]:
         """Per-(query, segment) top-k -> [(doc_id, score)] best-first.
 
@@ -355,12 +367,14 @@ class IndexReader:
         tomb = self._seg_tombstones(seg_id, seg)
         if tomb:
             hits = self._score_segment_inner(
-                seg, text, k + len(tomb), mode, match, filter_lang
+                seg, text, k + len(tomb), mode, match, filter_lang, scorer
             )
             return [
                 (int(seg.doc_ids[o]), s) for o, s in hits if o not in tomb
             ][:k]
-        hits = self._score_segment_inner(seg, text, k, mode, match, filter_lang)
+        hits = self._score_segment_inner(
+            seg, text, k, mode, match, filter_lang, scorer
+        )
         return [(int(seg.doc_ids[o]), s) for o, s in hits]
 
     def _seg_tombstones(self, seg_id: int, seg) -> "frozenset | None":
@@ -373,8 +387,25 @@ class IndexReader:
 
     def _score_segment_inner(
         self, seg, text: str, k: int, mode: str, match: str,
-        filter_lang: str | None = None,
+        filter_lang: str | None = None, scorer: str = "bm25",
     ) -> list[tuple[int, float]]:
+        if scorer == "tfidf":
+            # pluggable scorer kernel (SS2.10): classic TF-IDF,
+            # disjunctive only, vectorized exhaustive path
+            if match != "any":
+                raise ValueError(
+                    f"scorer='tfidf' supports match='any', not {match!r}"
+                )
+            qt2 = self.qterms_tfidf(text)
+            if not qt2:
+                return []
+            excl = (
+                self._lang_exclude(seg, filter_lang)
+                if filter_lang is not None else None
+            )
+            return wand.exhaustive_topk_tfidf(seg, qt2, k, exclude=excl)
+        if scorer != "bm25":
+            raise ValueError(f"unknown scorer {scorer!r}")
         if filter_lang is not None:
             if match != "any":
                 raise ValueError(
@@ -510,13 +541,14 @@ class IndexReader:
         return out
 
     def search(self, text: str, k: int = 10, mode: str = "auto",
-               match: str = "any", filter_lang: str | None = None) -> list[dict]:
+               match: str = "any", filter_lang: str | None = None,
+               scorer: str = "bm25") -> list[dict]:
         """Single-process search across all segments (serving / latency
         benchmarks; same kernels as the distributed path)."""
         cand: list[tuple[float, int, int]] = []  # (score, doc_id, seg_id)
         for seg_id in range(len(self.segment_paths)):
             for doc_id, score in self.score_segment(
-                seg_id, text, k, mode, match, filter_lang
+                seg_id, text, k, mode, match, filter_lang, scorer
             ):
                 cand.append((score, doc_id, seg_id))
         cand.sort(key=lambda c: (-c[0], c[1]))
@@ -543,11 +575,12 @@ class SegmentScorer:
     segment) partial top-k rows."""
 
     def __init__(self, index_dir: str, mode: str = "auto", match: str = "any",
-                 filter_lang: str | None = None):
+                 filter_lang: str | None = None, scorer: str = "bm25"):
         self.reader = IndexReader(index_dir)
         self.mode = mode
         self.match = match
         self.filter_lang = filter_lang
+        self.scorer = scorer
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("query_id").to_pylist()
@@ -561,7 +594,8 @@ class SegmentScorer:
           for seg_id in range(lo, hi):
             seg = rd.segment(seg_id)
             for doc_id, score in rd.score_segment(
-                seg_id, text, k, self.mode, self.match, self.filter_lang
+                seg_id, text, k, self.mode, self.match, self.filter_lang,
+                self.scorer,
             ):
                 o = int(np.searchsorted(seg.doc_ids, doc_id))
                 o_qid.append(qid)
@@ -612,6 +646,7 @@ def run_queries(
     concurrency=(1, 16),
     batch_size: int = 64,
     filter_lang: str | None = None,
+    scorer: str = "bm25",
 ) -> "ray.data.Dataset":
     """Distributed query evaluation -> Dataset with RESULTS schema.
 
@@ -656,7 +691,7 @@ def run_queries(
         SegmentScorer,
         fn_constructor_kwargs={
             "index_dir": index_dir, "mode": mode, "match": match,
-            "filter_lang": filter_lang,
+            "filter_lang": filter_lang, "scorer": scorer,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -102,6 +102,23 @@ class RefIndex:
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
 
+    def topk_tfidf(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Classic TF-IDF scorer (bm25.tfidf_idf/tfidf_part): score =
+        sum of idf^2 * sqrt(tf)/sqrt(dl), analyzed-term order."""
+        scores: dict[int, float] = {}
+        for t in self.analyze_query(text):
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            i = bm25.tfidf_idf(len(plist), self.num_docs)
+            idf2 = i * i
+            for did, tf in plist:
+                scores[did] = scores.get(did, 0.0) + idf2 * bm25.tfidf_part(
+                    float(tf), float(self.doc_len[did])
+                )
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+        return ranked[:k]
+
     def topk_lang(self, text: str, k: int = 10, lang: str = "") -> list[tuple[int, float]]:
         """Disjunctive BM25 restricted to docs of one language
         (metadata-filtered search); stats/idf stay collection-wide."""

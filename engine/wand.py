@@ -407,3 +407,43 @@ def exhaustive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
     order = np.lexsort((seg.doc_ids[cand], -sc))[:k]
     sel = cand[order]
     return [(int(o), float(scores[o])) for o in sel]
+
+
+def exhaustive_topk_tfidf(seg: Segment, qterms: list[tuple[str, float]],
+                          k: int, exclude: "np.ndarray | None" = None,
+                          ) -> list[tuple[int, float]]:
+    """Classic TF-IDF scoring kernel (pluggable scorer, SS2.10):
+    ``qterms`` carries (term, idf^2); contribution = idf2 * (sqrt(tf) /
+    sqrt(dl)) — numpy elementwise ops mirror bm25.tfidf_part exactly,
+    accumulation in query-term order (same determinism contract as
+    exhaustive_topk)."""
+    n = seg.num_docs
+    if n == 0:
+        return []
+    scores = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+    dl = seg.doc_lens
+    for term, idf2 in qterms:
+        row = seg.term_idx.get(term)
+        if row is None:
+            continue
+        ords, tfs = seg.decode_idx_cached(row)
+        if ords.size == 0:
+            continue
+        contrib = idf2 * (np.sqrt(tfs.astype(np.float64)) / np.sqrt(dl[ords]))
+        scores[ords] += contrib
+        touched[ords] = True
+    if exclude is not None and exclude.size:
+        touched[exclude] = False
+    cand = np.nonzero(touched)[0]
+    if cand.size == 0:
+        return []
+    sc = scores[cand]
+    if k > 0 and cand.size > 4 * k:
+        kth = np.partition(sc, cand.size - k)[cand.size - k]
+        keep = sc >= kth
+        cand = cand[keep]
+        sc = sc[keep]
+    order = np.lexsort((seg.doc_ids[cand], -sc))[:k]
+    sel = cand[order]
+    return [(int(o), float(scores[o])) for o in sel]

@@ -251,3 +251,22 @@ def test_lang_filter_rank_identity(built_index):
 
     with _pytest.raises(ValueError, match="filter_lang"):
         rd.search("alpha beta", 5, match="all", filter_lang="py")
+
+
+def test_tfidf_scorer_rank_identity(built_index):
+    """Pluggable classic-TF-IDF scorer == refimpl; distinct ranking
+    from BM25 on at least one query (the kernels really differ)."""
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    differs = 0
+    for q in built_index["queries"][:8]:
+        want = ref.topk_tfidf(q["text"], q["k"])
+        got = _pairs(rd.search(q["text"], q["k"], scorer="tfidf"))
+        _assert_same(got, want, q["text"])
+        bm = [d for d, _ in ref.topk(q["text"], q["k"])]
+        differs += [d for d, _ in want] != bm
+    assert differs >= 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scorer"):
+        rd.search("alpha", 5, match="all", scorer="tfidf")

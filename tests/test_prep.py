@@ -85,3 +85,28 @@ def test_corpus_prep_vs_local(ray_session, sf_dir):
     )
     assert got == want
     assert 0 < len(got) < len(docs)  # the chain actually filters
+
+
+def test_split_corpus_deterministic(ray_session):
+    from engine.functions import fnv1a64
+    from engine.prep import split_corpus
+
+    sf = "/root/testdata/sf0.01"
+    rows = split_corpus(sf).take_all()
+    assert len(rows) == 500
+    for r in rows[:50]:  # closed-form check
+        b = fnv1a64(str(r["doc_id"])) % 10000
+        assert r["bucket"] == b
+        want = "train" if b < 9000 else ("val" if b < 9500 else "test")
+        assert r["split"] == want
+    # ratios are in the right ballpark and all three splits non-empty
+    from collections import Counter
+
+    c = Counter(r["split"] for r in rows)
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 8 * (c["val"] + c["test"]) / 2
+    # custom bounds validated
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_corpus(sf, bounds={"a": 5000, "b": 4000})
