@@ -67,7 +67,8 @@ def cmd_query(args: argparse.Namespace) -> int:
     from .query import latency_profile, run_queries
 
     queries = _load_queries(args.queries, args.k)
-    res = run_queries(args.index, queries, mode=args.mode, match=args.match)
+    res = run_queries(args.index, queries, mode=args.mode, match=args.match,
+                      filter_lang=args.lang, scorer=args.scorer)
     table = res.to_pandas()
     if args.out:
         table.to_parquet(args.out)
@@ -150,7 +151,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("index")
     q.add_argument("queries", help="JSONL or parquet with query_id,text,k")
     q.add_argument("--mode", default="auto", choices=["auto", "wand", "exhaustive"])
-    q.add_argument("--match", default="any", choices=["any", "all", "phrase"])
+    q.add_argument("--match", default="any",
+                   choices=["any", "all", "phrase", "not", "prefix", "fuzzy",
+                            "regex"])
+    q.add_argument("--lang", default=None,
+                   help="restrict results to one doc language (match=any)")
+    q.add_argument("--scorer", default="bm25", choices=["bm25", "tfidf"])
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--out", default=None, help="write results parquet here")
     q.add_argument("--latency", action="store_true")
