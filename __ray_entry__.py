@@ -276,6 +276,31 @@ _TFIDF_QUERIES = [
 ]
 
 
+def _q_bm25_collapse_nostem(sf_dir: str):
+    """Field-collapsed BM25 (best doc per repo == per documents.source
+    — the corpus maps source -> repo 1:1): at most one result per repo,
+    Lucene field-collapsing semantics, exact via per-segment collapse +
+    champion merge (the partial-collapse lemma)."""
+    from engine.query import run_queries
+
+    out = _build_simple_index(sf_dir)
+    res = run_queries(out, _BM25_QUERIES, collapse="repo", concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_tfidf_topk_nostem(sf_dir: str):
     """Classic-TF-IDF scorer (pluggable scorer kernel): idf^2 *
     sqrt(tf)/sqrt(dl), Lucene TFIDFSimilarity shape."""
@@ -934,6 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_incremental": _q_bm25_incremental,
         "bm25_lang_nostem": _q_bm25_lang_nostem,
         "tfidf_topk_nostem": _q_tfidf_topk_nostem,
+        "bm25_collapse_nostem": _q_bm25_collapse_nostem,
         "bm25_and_nostem": _q_bm25_and_nostem,
         "bm25_not_nostem": _q_bm25_not_nostem,
         "bm25_prefix_nostem": _q_bm25_prefix_nostem,
@@ -1049,6 +1075,61 @@ ranked AS (
   FROM scores {and_filter}
   {f"JOIN documents fd ON fd.doc_id = scores.doc_id AND fd.lang = '{lang}'" if lang else ""}
   {f"WHERE scores.doc_id NOT IN ({', '.join(map(str, exclude_ids))})" if exclude_ids else ""}
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(round(score, 4) AS DOUBLE) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _bm25_collapse_sql() -> str:
+    """Field-collapsing oracle: standard BM25 scores, then per
+    (query, source) keep the best (score desc, doc_id asc) doc, then
+    rank the champions."""
+    vals = []
+    for q in _BM25_QUERIES:
+        seen = []
+        for t in q["text"].split(" "):
+            t = t.lower()
+            if t and t not in seen:
+                seen.append(t)
+        for t in seen:
+            vals.append(f"({q['query_id']}, '{t}')")
+    values = ", ".join(vals)
+    return f"""
+WITH tok2 AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON q.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+coll AS (
+  SELECT sc.query_id, sc.doc_id, sc.score, d.source,
+         row_number() OVER (PARTITION BY sc.query_id, d.source
+                            ORDER BY sc.score DESC, sc.doc_id) AS rs
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM coll WHERE rs = 1
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
@@ -1547,6 +1628,7 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
         "bm25_incremental": _bm25_sql(),
         "bm25_lang_nostem": _bm25_sql(lang="en"),
         "tfidf_topk_nostem": _tfidf_sql(),
+        "bm25_collapse_nostem": _bm25_collapse_sql(),
         "bm25_and_nostem": _bm25_sql(conjunctive=True),
         "bm25_not_nostem": _bm25_not_sql(),
         "bm25_prefix_nostem": _bm25_expand_sql(_PREFIX_QUERIES, "prefix"),

@@ -68,7 +68,8 @@ def cmd_query(args: argparse.Namespace) -> int:
 
     queries = _load_queries(args.queries, args.k)
     res = run_queries(args.index, queries, mode=args.mode, match=args.match,
-                      filter_lang=args.lang, scorer=args.scorer)
+                      filter_lang=args.lang, scorer=args.scorer,
+                      collapse=args.collapse)
     table = res.to_pandas()
     if args.out:
         table.to_parquet(args.out)
@@ -157,6 +158,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--lang", default=None,
                    help="restrict results to one doc language (match=any)")
     q.add_argument("--scorer", default="bm25", choices=["bm25", "tfidf"])
+    q.add_argument("--collapse", default=None, choices=["repo", "lang"],
+                   help="field collapsing: at most one (best) doc per value")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--out", default=None, help="write results parquet here")
     q.add_argument("--latency", action="store_true")

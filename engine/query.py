@@ -540,18 +540,76 @@ class IndexReader:
                 break
         return out
 
+    def _collapse_field(self, seg: Segment, field: str) -> np.ndarray:
+        if field == "repo":
+            return seg.repo
+        if field == "lang":
+            return seg.langs()
+        raise ValueError(f"unknown collapse field {field!r} (repo|lang)")
+
+    def score_segment_collapsed(
+        self, seg_id: int, text: str, k: int, field: str,
+        mode: str = "auto", match: str = "any",
+        filter_lang: str | None = None, scorer: str = "bm25",
+    ) -> list[tuple[int, float, str]]:
+        """Per-segment top-k with FIELD COLLAPSING (one best doc per
+        field value) -> [(doc_id, score, field_value)] best-first.
+
+        Exactness argument (the partial-collapse lemma): a field
+        value's GLOBAL champion doc is its champion in its own segment
+        too (scores are segment-independent), and if it ranks outside
+        this segment's collapsed top-k then >= k field values beat it
+        globally — so the global collapsed top-k is always a subset of
+        the union of per-segment collapsed top-ks.  Candidates are
+        gathered by doubling over-fetch until k distinct field values
+        (or the segment's matches) are in hand."""
+        seg = self.segment(seg_id)
+        vals = self._collapse_field(seg, field)
+        kk = k
+        while True:
+            hits = self.score_segment(
+                seg_id, text, kk, mode, match, filter_lang, scorer
+            )
+            out: list[tuple[int, float, str]] = []
+            seen: set[str] = set()
+            for did, score in hits:
+                o = int(np.searchsorted(seg.doc_ids, did))
+                v = str(vals[o])
+                if v in seen:
+                    continue
+                seen.add(v)
+                out.append((did, score, v))
+                if len(out) == k:
+                    return out
+            if len(hits) < kk:  # segment exhausted: fewer matches exist
+                return out
+            kk *= 4
+
     def search(self, text: str, k: int = 10, mode: str = "auto",
                match: str = "any", filter_lang: str | None = None,
-               scorer: str = "bm25") -> list[dict]:
+               scorer: str = "bm25", collapse: str | None = None) -> list[dict]:
         """Single-process search across all segments (serving / latency
-        benchmarks; same kernels as the distributed path)."""
+        benchmarks; same kernels as the distributed path).  ``collapse``
+        ('repo' | 'lang'): return at most one doc — the best — per
+        field value (Lucene field-collapsing semantics)."""
         cand: list[tuple[float, int, int]] = []  # (score, doc_id, seg_id)
-        for seg_id in range(len(self.segment_paths)):
-            for doc_id, score in self.score_segment(
-                seg_id, text, k, mode, match, filter_lang, scorer
-            ):
-                cand.append((score, doc_id, seg_id))
-        cand.sort(key=lambda c: (-c[0], c[1]))
+        if collapse is not None:
+            by_val: dict[str, tuple[float, int, int]] = {}
+            for seg_id in range(len(self.segment_paths)):
+                for did, score, v in self.score_segment_collapsed(
+                    seg_id, text, k, collapse, mode, match, filter_lang, scorer
+                ):
+                    best = by_val.get(v)
+                    if best is None or (-score, did) < (-best[0], best[1]):
+                        by_val[v] = (score, did, seg_id)
+            cand = sorted(by_val.values(), key=lambda c: (-c[0], c[1]))
+        else:
+            for seg_id in range(len(self.segment_paths)):
+                for doc_id, score in self.score_segment(
+                    seg_id, text, k, mode, match, filter_lang, scorer
+                ):
+                    cand.append((score, doc_id, seg_id))
+            cand.sort(key=lambda c: (-c[0], c[1]))
         out = []
         for rank, (score, doc_id, seg_id) in enumerate(cand[:k], 1):
             seg = self.segment(seg_id)
@@ -575,12 +633,14 @@ class SegmentScorer:
     segment) partial top-k rows."""
 
     def __init__(self, index_dir: str, mode: str = "auto", match: str = "any",
-                 filter_lang: str | None = None, scorer: str = "bm25"):
+                 filter_lang: str | None = None, scorer: str = "bm25",
+                 collapse: str | None = None):
         self.reader = IndexReader(index_dir)
         self.mode = mode
         self.match = match
         self.filter_lang = filter_lang
         self.scorer = scorer
+        self.collapse = collapse
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("query_id").to_pylist()
@@ -589,14 +649,25 @@ class SegmentScorer:
         los = batch.column("seg_lo").to_pylist()
         his = batch.column("seg_hi").to_pylist()
         o_qid, o_k, o_did, o_score, o_repo, o_path = [], [], [], [], [], []
+        o_ckey: list[str] = []
         rd = self.reader
         for qid, text, k, lo, hi in zip(qids, texts, ks, los, his):
           for seg_id in range(lo, hi):
             seg = rd.segment(seg_id)
-            for doc_id, score in rd.score_segment(
-                seg_id, text, k, self.mode, self.match, self.filter_lang,
-                self.scorer,
-            ):
+            if self.collapse is not None:
+                hits3 = rd.score_segment_collapsed(
+                    seg_id, text, k, self.collapse, self.mode, self.match,
+                    self.filter_lang, self.scorer,
+                )
+            else:
+                hits3 = [
+                    (did, score, None)
+                    for did, score in rd.score_segment(
+                        seg_id, text, k, self.mode, self.match,
+                        self.filter_lang, self.scorer,
+                    )
+                ]
+            for doc_id, score, ckey in hits3:
                 o = int(np.searchsorted(seg.doc_ids, doc_id))
                 o_qid.append(qid)
                 o_k.append(k)
@@ -604,6 +675,7 @@ class SegmentScorer:
                 o_score.append(score)
                 o_repo.append(str(seg.repo[o]))
                 o_path.append(str(seg.dpath[o]))
+                o_ckey.append("" if ckey is None else ckey)
         return pa.table(
             {
                 "query_id": pa.array(o_qid, pa.int64()),
@@ -612,6 +684,7 @@ class SegmentScorer:
                 "score": pa.array(o_score, pa.float64()),
                 "repo": pa.array(o_repo, pa.string()),
                 "path": pa.array(o_path, pa.string()),
+                "ckey": pa.array(o_ckey, pa.string()),
             }
         )
 
@@ -638,6 +711,40 @@ def merge_topk(group: pa.Table) -> pa.Table:
     )
 
 
+def merge_topk_collapsed(group: pa.Table) -> pa.Table:
+    """K3/K4 with field collapsing: per field value keep the best
+    (score desc, doc_id asc) row across segments, then rank the
+    champions.  Exact by the partial-collapse lemma
+    (IndexReader.score_segment_collapsed)."""
+    scores = group.column("score").to_numpy()
+    doc_ids = group.column("doc_id").to_numpy()
+    ckeys = group.column("ckey").to_pylist()
+    k = int(group.column("k")[0].as_py())
+    order = np.lexsort((doc_ids, -scores))
+    keep: list[int] = []
+    seen: set[str] = set()
+    for i in order:
+        v = ckeys[i]
+        if v in seen:
+            continue
+        seen.add(v)
+        keep.append(int(i))
+        if len(keep) == k:
+            break
+    sel = group.take(pa.array(keep, pa.int64()))
+    n = sel.num_rows
+    return pa.table(
+        {
+            "query_id": sel.column("query_id"),
+            "rank": pa.array(np.arange(1, n + 1, dtype=np.int32), pa.int32()),
+            "doc_id": sel.column("doc_id"),
+            "score": sel.column("score"),
+            "repo": sel.column("repo"),
+            "path": sel.column("path"),
+        }
+    )
+
+
 def run_queries(
     index_dir: str,
     queries,
@@ -647,6 +754,7 @@ def run_queries(
     batch_size: int = 64,
     filter_lang: str | None = None,
     scorer: str = "bm25",
+    collapse: str | None = None,
 ) -> "ray.data.Dataset":
     """Distributed query evaluation -> Dataset with RESULTS schema.
 
@@ -691,13 +799,14 @@ def run_queries(
         SegmentScorer,
         fn_constructor_kwargs={
             "index_dir": index_dir, "mode": mode, "match": match,
-            "filter_lang": filter_lang, "scorer": scorer,
+            "filter_lang": filter_lang, "scorer": scorer, "collapse": collapse,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    return scored.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+    merge = merge_topk_collapsed if collapse is not None else merge_topk
+    return scored.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
 def latency_profile(

@@ -138,6 +138,33 @@ class RefIndex:
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
 
+    def topk_collapse(self, text: str, k: int = 10,
+                      field: str = "repo") -> list[tuple[int, float]]:
+        """Field collapsing: full disjunctive ranking, then keep only
+        the first (best) doc per ``field`` value, cut to k."""
+        terms = self.analyze_query(text)
+        scores: dict[int, float] = {}
+        for t in terms:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            idf_t = bm25.idf(len(plist), self.num_docs)
+            for did, tf in plist:
+                scores[did] = scores.get(did, 0.0) + idf_t * bm25.tf_part(
+                    float(tf), float(self.doc_len[did]), self.avg_doc_len
+                )
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+        out, seen = [], set()
+        for did, s in ranked:
+            v = self.doc_meta[did][field]
+            if v in seen:
+                continue
+            seen.add(v)
+            out.append((did, s))
+            if len(out) == k:
+                break
+        return out
+
     def topk_not(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Boolean NOT: '-term' tokens exclude every doc containing
         that term; scoring is disjunctive BM25 over the unsigned terms

@@ -270,3 +270,39 @@ def test_tfidf_scorer_rank_identity(built_index):
 
     with _pytest.raises(ValueError, match="scorer"):
         rd.search("alpha", 5, match="all", scorer="tfidf")
+
+
+def test_collapse_rank_identity(built_index):
+    """Field-collapsed search (best doc per repo / lang) == refimpl's
+    collapse of the full ranking — validates the partial-collapse
+    lemma across 8 segments."""
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    n_nonempty = 0
+    for q in built_index["queries"][:8]:
+        for field in ("repo", "lang"):
+            want = ref.topk_collapse(q["text"], q["k"], field)
+            got = _pairs(rd.search(q["text"], q["k"], collapse=field))
+            _assert_same(got, want, (q["text"], field))
+            n_nonempty += bool(want)
+    assert n_nonempty >= 8
+    # no two results share the collapse value
+    hits = rd.search(built_index["queries"][0]["text"], 10, collapse="lang")
+    langs = [ref.doc_meta[h["doc_id"]]["lang"] for h in hits]
+    assert len(langs) == len(set(langs))
+
+
+def test_collapse_distributed(built_index):
+    ref = built_index["ref"]
+    queries = built_index["queries"][:5]
+    res = run_queries(
+        built_index["out"], queries, collapse="repo", concurrency=(1, 2)
+    ).take_all()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in queries:
+        want = ref.topk_collapse(q["text"], q["k"], "repo")
+        got = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], q["text"]
+        assert len({r["repo"] for r in got}) == len(got)
