@@ -276,6 +276,36 @@ _TFIDF_QUERIES = [
 ]
 
 
+def _q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: BM25 top-20 (lexical run) fused with exact
+    cosine top-20 (vector run; query vectors = embeddings of vec_id ==
+    query_id) by Reciprocal Rank Fusion (engine.similarity.rrf_fuse).
+    Both runs are deterministic total orders, so the fused ranking has
+    an exact SQL oracle (FULL OUTER JOIN of the two ranked CTEs).
+    Multi-term queries only: single-term BM25 ties in the top-20 would
+    make lexical ranks engine-dependent (internal vs source doc_id
+    tie-break)."""
+    from engine import similarity
+    from engine.query import run_queries
+
+    out = _build_simple_index(sf_dir)
+    lex_q = [dict(q, k=20) for q in _TFIDF_QUERIES]
+    res = run_queries(out, lex_q, concurrency=(1, 4)).to_pandas()
+    lex = [
+        {
+            "query_id": int(r.query_id),
+            "rank": int(r.rank),
+            "doc_id": _source_doc_id(r.path),
+        }
+        for r in res.itertuples()
+    ]
+    vec = [
+        {"query_id": r["query_id"], "rank": r["rank"], "doc_id": r["vec_id"]}
+        for r in similarity.knn_bruteforce(sf_dir, k=20, n_queries=5).take_all()
+    ]
+    return similarity.rrf_fuse([lex, vec], k=10)
+
+
 def _q_bm25_collapse_nostem(sf_dir: str):
     """Field-collapsed BM25 (best doc per repo == per documents.source
     — the corpus maps source -> repo 1:1): at most one result per repo,
@@ -960,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_lang_nostem": _q_bm25_lang_nostem,
         "tfidf_topk_nostem": _q_tfidf_topk_nostem,
         "bm25_collapse_nostem": _q_bm25_collapse_nostem,
+        "hybrid_search": _q_hybrid_search,
         "bm25_and_nostem": _q_bm25_and_nostem,
         "bm25_not_nostem": _q_bm25_not_nostem,
         "bm25_prefix_nostem": _q_bm25_prefix_nostem,
@@ -1078,6 +1109,80 @@ ranked AS (
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _hybrid_sql() -> str:
+    """RRF-fusion oracle: the BM25 CTE (rank <= 20) FULL OUTER JOINed
+    with the cosine top-20 CTE; rrf = 1/(60+lex_rank) + 1/(60+vec_rank)
+    with missing sides contributing 0 — same accumulation order as
+    engine.similarity.rrf_fuse."""
+    vals = []
+    for q in _TFIDF_QUERIES:
+        seen = []
+        for t in q["text"].split(" "):
+            t = t.lower()
+            if t and t not in seen:
+                seen.append(t)
+        for t in seen:
+            vals.append(f"({q['query_id']}, '{t}')")
+    values = ", ".join(vals)
+    return f"""
+WITH tok2 AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON q.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+lexr AS (
+  SELECT query_id, doc_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scores QUALIFY rank <= 20
+),
+qv AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
+vs AS (
+  SELECT qv.vec_id AS query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(qv.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS c
+  FROM qv CROSS JOIN embeddings e
+),
+vr AS (
+  SELECT query_id, doc_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY c DESC, doc_id) AS rank
+  FROM vs QUALIFY rank <= 20
+),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + l.rank), 0) + coalesce(1.0 / (60 + v.rank), 0)
+           AS rrf
+  FROM lexr l FULL OUTER JOIN vr v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(round(rrf, 6) AS DOUBLE) AS rrf_r
 FROM ranked WHERE rank <= 10
 """
 
@@ -1629,6 +1734,7 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
         "bm25_lang_nostem": _bm25_sql(lang="en"),
         "tfidf_topk_nostem": _tfidf_sql(),
         "bm25_collapse_nostem": _bm25_collapse_sql(),
+        "hybrid_search": _hybrid_sql(),
         "bm25_and_nostem": _bm25_sql(conjunctive=True),
         "bm25_not_nostem": _bm25_not_sql(),
         "bm25_prefix_nostem": _bm25_expand_sql(_PREFIX_QUERIES, "prefix"),

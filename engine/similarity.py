@@ -525,3 +525,57 @@ def knn_lsh(
         .groupby("query_id")
         .map_groups(merge_topk, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid lexical + vector search)
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(runs: list, k: int = 10, c: int = 60) -> pa.Table:
+    """Fuse N ranked result lists with Reciprocal Rank Fusion
+    ([LIT-RRF] Cormack, Clarke & Buettcher 2009): rrf(d) = sum over
+    runs of 1 / (c + rank_run(d)); final order (rrf desc, doc_id asc).
+
+    ``runs``: Datasets / pyarrow Tables / row-lists with columns
+    (query_id, rank, doc_id).  Result lists are top-k-sized BY
+    CONSTRUCTION (each run already reduced from its engine), so fusion
+    is a driver-side merge of O(queries x k x runs) rows — adding a
+    Ray all-to-all here would cost more than the data it moves
+    (CLAUDE.md fixed-overhead rule).  Accumulation follows run order,
+    making the float sum deterministic; rrf_r is round6 for
+    cross-engine comparison.
+
+    Output: (query_id, rank, doc_id, rrf_r).
+    """
+    import ray.data as _rd
+
+    scores: dict[tuple[int, int], float] = {}
+    for run in runs:
+        if isinstance(run, _rd.Dataset):
+            rows = run.take_all()
+        elif isinstance(run, pa.Table):
+            rows = run.to_pylist()
+        else:
+            rows = list(run)
+        for r in rows:
+            key = (int(r["query_id"]), int(r["doc_id"]))
+            scores[key] = scores.get(key, 0.0) + 1.0 / (c + int(r["rank"]))
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for (qid, did), s in scores.items():
+        by_q.setdefault(qid, []).append((s, did))
+    out = []
+    for qid in sorted(by_q):
+        cand = sorted(by_q[qid], key=lambda x: (-x[0], x[1]))[:k]
+        for rank, (s, did) in enumerate(cand, 1):
+            out.append(
+                {"query_id": qid, "rank": rank, "doc_id": did,
+                 "rrf_r": round6(s)}
+            )
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()),
+             ("doc_id", pa.int64()), ("rrf_r", pa.float64())]
+        ),
+    )

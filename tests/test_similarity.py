@@ -159,3 +159,32 @@ def test_ivf_partitioned_serving_identical(ray_session, sf_dir, tmp_path):
         ).take_all()
     )
     assert a == b  # the materialized layout serves the same results
+
+
+def test_rrf_fuse_semantics():
+    """RRF over two hand-built runs: shared docs sum both reciprocal
+    ranks, singletons keep one, order is (rrf desc, doc_id asc)."""
+    from engine.similarity import rrf_fuse
+
+    lex = [
+        {"query_id": 0, "rank": 1, "doc_id": 10},
+        {"query_id": 0, "rank": 2, "doc_id": 20},
+        {"query_id": 1, "rank": 1, "doc_id": 7},
+    ]
+    vec = [
+        {"query_id": 0, "rank": 1, "doc_id": 20},
+        {"query_id": 0, "rank": 2, "doc_id": 30},
+    ]
+    t = rrf_fuse([lex, vec], k=10, c=60).to_pylist()
+    q0 = [r for r in t if r["query_id"] == 0]
+    # doc 20: 1/62 + 1/61 beats doc 10: 1/61 alone
+    assert [r["doc_id"] for r in q0] == [20, 10, 30]
+    assert abs(q0[0]["rrf_r"] - round(1 / 62 + 1 / 61, 6)) < 1e-12
+    assert [r["rank"] for r in q0] == [1, 2, 3]
+    # tie between equal single-run ranks breaks by doc_id asc
+    a = [{"query_id": 0, "rank": 1, "doc_id": 5}]
+    b = [{"query_id": 0, "rank": 1, "doc_id": 3}]
+    t2 = rrf_fuse([a, b], k=2).to_pylist()
+    assert [r["doc_id"] for r in t2] == [3, 5]
+    # k cuts
+    assert len(rrf_fuse([lex, vec], k=1).to_pylist()) == 2  # one per query
