@@ -536,6 +536,41 @@ def _q_bm25_phrase_nostem(sf_dir: str):
     )
 
 
+_NEAR_QUERIES = [
+    {"query_id": 0, "text": "the data", "k": 10},
+    {"query_id": 1, "text": "customer order", "k": 10},
+    {"query_id": 2, "text": "zzz missing", "k": 10},
+    {"query_id": 3, "text": "merge row table", "k": 10},
+]
+_NEAR_SLOP = 2
+
+
+def _q_bm25_near_nostem(sf_dir: str):
+    """Proximity BM25 (match='near', slop=2): every term within a
+    minimal window span <= (m-1)+slop, unordered (Lucene SpanNearQuery
+    shape); positional-index verification, BM25 over the distinct
+    terms.  Oracle: EXISTS window join over token positions."""
+    from engine.query import run_queries
+
+    out = _build_simple_index(sf_dir)
+    res = run_queries(out, _NEAR_QUERIES, match="near", slop=_NEAR_SLOP,
+                      concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_verify_invariant(sf_dir: str):
     """M7: sha256 invariant summary row for the simple index."""
     from engine.corpus import read_corpus_from_documents
@@ -997,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fuzzy_nostem": _q_bm25_fuzzy_nostem,
         "bm25_regex_nostem": _q_bm25_regex_nostem,
         "bm25_phrase_nostem": _q_bm25_phrase_nostem,
+        "bm25_near_nostem": _q_bm25_near_nostem,
         "verify_invariant": _q_verify_invariant,
         "groupby_lineitem": _q_groupby_lineitem,
         "topk_orders": _q_topk_orders,
@@ -1513,6 +1549,88 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _near_sql() -> str:
+    """Proximity oracle: contiguity relaxed to a window — per query an
+    EXISTS join over token positions choosing one position per distinct
+    term with greatest - least <= (m-1) + slop; scoring = the standard
+    BM25 CTE restricted to window-matched docs (which contain every
+    term, so the disjunctive sum equals the engine's)."""
+    limit_of = {}
+    vals, match_ctes, match_union = [], [], []
+    for q in _NEAR_QUERIES:
+        seen: list[str] = []
+        for t in q["text"].split(" "):
+            t = t.lower()
+            if t and t not in seen:
+                seen.append(t)
+        for t in seen:
+            vals.append(f"({q['query_id']}, '{t}')")
+        m = len(seen)
+        limit = (m - 1) + _NEAR_SLOP
+        limit_of[q["query_id"]] = limit
+        joins = " ".join(
+            f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.tk = '{t}'"
+            for i, t in enumerate(seen[1:], 1)
+        )
+        allpos = ", ".join(f"p{i}.i" for i in range(m))
+        span = (
+            f"greatest({allpos}) - least({allpos})" if m > 1 else "0"
+        )
+        match_ctes.append(
+            f"m{q['query_id']} AS (SELECT DISTINCT p0.doc_id FROM tokpos p0 "
+            f"{joins} WHERE p0.tk = '{seen[0]}' AND {span} <= {limit})"
+        )
+        match_union.append(
+            f"SELECT {q['query_id']} AS query_id, doc_id FROM m{q['query_id']}"
+        )
+    values = ", ".join(vals)
+    ctes = ",\n".join(match_ctes)
+    union = " UNION ALL ".join(match_union)
+    return f"""
+WITH tok2 AS ({_TOK2}),
+tokw AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tk FROM tokw
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+{ctes},
+matched AS ({union}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON q.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score DESC, sc.doc_id) AS rank
+  FROM scores sc JOIN matched m
+    ON sc.query_id = m.query_id AND sc.doc_id = m.doc_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(round(score, 4) AS DOUBLE) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+
 def _more_like_this_sql(srcs=(0, 7, 42), max_terms: int = 10, k: int = 5) -> str:
     """More-like-this oracle: per source doc, the ``max_terms`` highest
     tf*idf terms ((w desc, term asc) — the engine's selection order)
@@ -1741,6 +1859,7 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
         "bm25_fuzzy_nostem": _bm25_expand_sql(_FUZZY_QUERIES, "fuzzy"),
         "bm25_regex_nostem": _bm25_expand_sql(_REGEX_QUERIES, "regex"),
         "bm25_phrase_nostem": _phrase_sql(),
+        "bm25_near_nostem": _near_sql(),
         "more_like_this": _more_like_this_sql(),
         "groupby_lineitem": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "

@@ -69,7 +69,7 @@ def cmd_query(args: argparse.Namespace) -> int:
     queries = _load_queries(args.queries, args.k)
     res = run_queries(args.index, queries, mode=args.mode, match=args.match,
                       filter_lang=args.lang, scorer=args.scorer,
-                      collapse=args.collapse)
+                      collapse=args.collapse, slop=args.slop)
     table = res.to_pandas()
     if args.out:
         table.to_parquet(args.out)
@@ -153,8 +153,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("queries", help="JSONL or parquet with query_id,text,k")
     q.add_argument("--mode", default="auto", choices=["auto", "wand", "exhaustive"])
     q.add_argument("--match", default="any",
-                   choices=["any", "all", "phrase", "not", "prefix", "fuzzy",
-                            "regex"])
+                   choices=["any", "all", "phrase", "near", "not", "prefix",
+                            "fuzzy", "regex"])
+    q.add_argument("--slop", type=int, default=2,
+                   help="proximity window slack for --match near")
     q.add_argument("--lang", default=None,
                    help="restrict results to one doc language (match=any)")
     q.add_argument("--scorer", default="bm25", choices=["bm25", "tfidf"])

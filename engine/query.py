@@ -334,7 +334,7 @@ class IndexReader:
     def score_segment(
         self, seg_id: int, text: str, k: int, mode: str = "auto",
         match: str = "any", filter_lang: str | None = None,
-        scorer: str = "bm25",
+        scorer: str = "bm25", slop: int = 2,
     ) -> list[tuple[int, float]]:
         """Per-(query, segment) top-k -> [(doc_id, score)] best-first.
 
@@ -347,7 +347,9 @@ class IndexReader:
         analysis.split_wildcard syntax), "fuzzy" ('term~' / 'term~2'
         tokens expand to index terms within Levenshtein distance 1 / 2
         — analysis.split_fuzzy syntax), "regex" (the whole query text
-        is one pattern; docs scoring any fully-matching index term).
+        is one pattern; docs scoring any fully-matching index term),
+        "near" (proximity: every term present with minimal window span
+        <= (m-1) + ``slop``, unordered — Lucene SpanNearQuery).
         Expanded modes score disjunctively; each expanded term keeps
         its own global idf.
 
@@ -367,13 +369,13 @@ class IndexReader:
         tomb = self._seg_tombstones(seg_id, seg)
         if tomb:
             hits = self._score_segment_inner(
-                seg, text, k + len(tomb), mode, match, filter_lang, scorer
+                seg, text, k + len(tomb), mode, match, filter_lang, scorer, slop
             )
             return [
                 (int(seg.doc_ids[o]), s) for o, s in hits if o not in tomb
             ][:k]
         hits = self._score_segment_inner(
-            seg, text, k, mode, match, filter_lang, scorer
+            seg, text, k, mode, match, filter_lang, scorer, slop
         )
         return [(int(seg.doc_ids[o]), s) for o, s in hits]
 
@@ -388,6 +390,7 @@ class IndexReader:
     def _score_segment_inner(
         self, seg, text: str, k: int, mode: str, match: str,
         filter_lang: str | None = None, scorer: str = "bm25",
+        slop: int = 2,
     ) -> list[tuple[int, float]]:
         if scorer == "tfidf":
             # pluggable scorer kernel (SS2.10): classic TF-IDF,
@@ -437,6 +440,13 @@ class IndexReader:
                 return []
             seq = list(self.analyzer(text))
             hits = wand.phrase_topk(seg, seq, qt, k, self.avg_doc_len)
+        elif match == "near":
+            qt = self.qterms_strict(text)
+            if qt is None or not qt:
+                return []
+            hits = wand.near_topk(
+                seg, [t for t, _ in qt], qt, k, self.avg_doc_len, slop
+            )
         elif match in ("prefix", "fuzzy", "regex"):
             qt = self.qterms_expanded(seg, text, match)
             if not qt:
@@ -587,7 +597,8 @@ class IndexReader:
 
     def search(self, text: str, k: int = 10, mode: str = "auto",
                match: str = "any", filter_lang: str | None = None,
-               scorer: str = "bm25", collapse: str | None = None) -> list[dict]:
+               scorer: str = "bm25", collapse: str | None = None,
+               slop: int = 2) -> list[dict]:
         """Single-process search across all segments (serving / latency
         benchmarks; same kernels as the distributed path).  ``collapse``
         ('repo' | 'lang'): return at most one doc — the best — per
@@ -606,7 +617,7 @@ class IndexReader:
         else:
             for seg_id in range(len(self.segment_paths)):
                 for doc_id, score in self.score_segment(
-                    seg_id, text, k, mode, match, filter_lang, scorer
+                    seg_id, text, k, mode, match, filter_lang, scorer, slop
                 ):
                     cand.append((score, doc_id, seg_id))
             cand.sort(key=lambda c: (-c[0], c[1]))
@@ -634,13 +645,14 @@ class SegmentScorer:
 
     def __init__(self, index_dir: str, mode: str = "auto", match: str = "any",
                  filter_lang: str | None = None, scorer: str = "bm25",
-                 collapse: str | None = None):
+                 collapse: str | None = None, slop: int = 2):
         self.reader = IndexReader(index_dir)
         self.mode = mode
         self.match = match
         self.filter_lang = filter_lang
         self.scorer = scorer
         self.collapse = collapse
+        self.slop = slop
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("query_id").to_pylist()
@@ -664,7 +676,7 @@ class SegmentScorer:
                     (did, score, None)
                     for did, score in rd.score_segment(
                         seg_id, text, k, self.mode, self.match,
-                        self.filter_lang, self.scorer,
+                        self.filter_lang, self.scorer, self.slop,
                     )
                 ]
             for doc_id, score, ckey in hits3:
@@ -755,6 +767,7 @@ def run_queries(
     filter_lang: str | None = None,
     scorer: str = "bm25",
     collapse: str | None = None,
+    slop: int = 2,
 ) -> "ray.data.Dataset":
     """Distributed query evaluation -> Dataset with RESULTS schema.
 
@@ -800,6 +813,7 @@ def run_queries(
         fn_constructor_kwargs={
             "index_dir": index_dir, "mode": mode, "match": match,
             "filter_lang": filter_lang, "scorer": scorer, "collapse": collapse,
+            "slop": slop,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -291,6 +291,36 @@ class RefIndex:
         cand = set.intersection(*docsets) if docsets else set()
         return self._score_docs(terms, cand)[:k]
 
+    def topk_near(self, text: str, k: int = 10, slop: int = 2) -> list[tuple[int, float]]:
+        """Proximity (unordered sloppy) top-k: every distinct analyzed
+        term occurs and the minimal window span over one position per
+        term is <= (m-1) + slop; matches BM25-scored over the distinct
+        terms (wand.near_topk mirror)."""
+        terms = self.analyze_query(text)
+        if not terms:
+            return []
+        docsets = [
+            {did for did, _ in self.postings.get(t, ())} for t in terms
+        ]
+        cand = set.intersection(*docsets) if docsets else set()
+        limit = (len(terms) - 1) + slop
+        hits = set()
+        for did in cand:
+            poss = [sorted(self.positions[(t, did)]) for t in terms]
+            idx = [0] * len(poss)
+            cur = [p[0] for p in poss]
+            best = max(cur) - min(cur)
+            while best > 0:
+                i = min(range(len(cur)), key=lambda j: cur[j])
+                idx[i] += 1
+                if idx[i] >= len(poss[i]):
+                    break
+                cur[i] = poss[i][idx[i]]
+                best = min(best, max(cur) - min(cur))
+            if best <= limit:
+                hits.add(did)
+        return self._score_docs(terms, hits)[:k]
+
     def topk_phrase(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Exact phrase top-k: the analyzed token SEQUENCE (duplicates
         kept, order kept) must occur contiguously; matches are

@@ -447,3 +447,71 @@ def exhaustive_topk_tfidf(seg: Segment, qterms: list[tuple[str, float]],
     order = np.lexsort((seg.doc_ids[cand], -sc))[:k]
     sel = cand[order]
     return [(int(o), float(scores[o])) for o in sel]
+
+
+def _min_span(poss: list[np.ndarray]) -> int:
+    """Minimal (max - min) over choosing one position from each sorted
+    list — the classic k-pointer sweep: repeatedly advance the minimum
+    pointer; O(total positions x log k is avoidable; k is tiny, so a
+    linear min scan per step suffices)."""
+    idx = [0] * len(poss)
+    cur = [int(p[0]) for p in poss]
+    best = max(cur) - min(cur)
+    while best > 0:
+        i = min(range(len(cur)), key=lambda j: cur[j])
+        idx[i] += 1
+        if idx[i] >= len(poss[i]):
+            break
+        cur[i] = int(poss[i][idx[i]])
+        span = max(cur) - min(cur)
+        if span < best:
+            best = span
+    return best
+
+
+def near_topk(seg: Segment, terms: list[str],
+              qterms: list[tuple[str, float]], k: int, avg_doc_len: float,
+              slop: int) -> list[tuple[int, float]]:
+    """Proximity (sloppy, unordered) top-k: every distinct query term
+    must occur, and some window must contain one occurrence of each
+    with minimal span <= (m - 1) + slop (slop 0 = the terms are
+    adjacent in SOME order — Lucene SpanNearQuery, unordered).
+    Matched docs are BM25-scored over ``qterms`` exactly like
+    phrase_topk (rank-identical to refimpl.topk_near)."""
+    if not terms or not qterms:
+        return []
+    decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for term in terms:
+        row = seg.term_idx.get(term)
+        if row is None or seg.n_postings[row] == 0:
+            return []
+        decoded[term] = seg.decode_idx_cached(row)
+    cand = decoded[terms[0]][0]
+    for term in terms[1:]:
+        cand = np.intersect1d(cand, decoded[term][0], assume_unique=True)
+        if cand.size == 0:
+            return []
+    poslists = {t: seg.decode_positions(t) for t in terms}
+    posmaps = {}
+    for t in terms:
+        ords = decoded[t][0]
+        posmaps[t] = {int(o): pl for o, pl in zip(ords, poslists[t])}
+    limit = (len(terms) - 1) + slop
+    hits = [
+        int(o) for o in cand
+        if _min_span([posmaps[t][int(o)] for t in terms]) <= limit
+    ]
+    if not hits:
+        return []
+    cand = np.asarray(hits, dtype=np.int64)
+    dl = seg.doc_lens[cand]
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for term, idf in qterms:
+        ords, tfs = decoded[term]
+        sel = np.searchsorted(ords, cand)
+        tf = tfs[sel].astype(np.float64)
+        scores += idf * ((tf * (bm25.K1 + 1.0)) /
+                         (tf + bm25.K1 * (1.0 - bm25.B + bm25.B * (dl / avg_doc_len))))
+    order = np.lexsort((seg.doc_ids[cand], -scores))[:k]
+    sel = cand[order]
+    return [(int(o), float(s)) for o, s in zip(sel, scores[order])]

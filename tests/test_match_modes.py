@@ -306,3 +306,30 @@ def test_collapse_distributed(built_index):
         got = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
         assert [r["doc_id"] for r in got] == [d for d, _ in want], q["text"]
         assert len({r["repo"] for r in got}) == len(got)
+
+
+def test_near_rank_identity(built_index):
+    """Proximity (sloppy unordered) queries == refimpl, several slops."""
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    n_nonempty = 0
+    # co-occurring fixture terms whose window spans actually vary with
+    # slop (verified: 'def import' matches 0 -> 1 -> 47 docs at slop
+    # 0 / 2 / 8)
+    texts = ["def import", "import pasi", "return class", "pasi giga"]
+    for text in texts:
+        for slop in (0, 2, 8):
+            want = ref.topk_near(text, 10, slop)
+            got = _pairs(rd.search(text, 10, match="near", slop=slop))
+            _assert_same(got, want, (text, slop))
+            n_nonempty += bool(want)
+    assert n_nonempty >= 4
+    # slop monotonicity: larger slop never loses matches
+    t = texts[0]
+    a = {d for d, _ in ref.topk_near(t, 100, 0)}
+    b = {d for d, _ in ref.topk_near(t, 100, 30)}
+    assert a <= b
+    # near at huge slop == conjunctive (every co-occurring doc matches)
+    got = _pairs(rd.search(t, 10, match="near", slop=10_000))
+    want = ref.topk_and(t, 10)
+    _assert_same(got, want, (t, "slop=inf"))
