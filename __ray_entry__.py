@@ -432,6 +432,22 @@ def _q_bm25_not_nostem(sf_dir: str):
     )
 
 
+_BOOL_QUERIES = [
+    {"query_id": 0, "text": "+customer order data", "k": 10},
+    {"query_id": 1, "text": "+join +hash merge", "k": 10},
+    {"query_id": 2, "text": "+scan -filter batch", "k": 10},
+    {"query_id": 3, "text": "data row -the", "k": 10},
+    {"query_id": 4, "text": "+zzz_oov data", "k": 10},
+]
+
+
+def _q_bm25_bool_nostem(sf_dir: str):
+    """Lucene-BooleanQuery mode ('+must should -not'): docs contain all
+    MUST terms and no MUST_NOT term; disjunctive BM25 over must+should
+    (engine.analysis.split_bool syntax)."""
+    return _q_bm25_expand(sf_dir, _BOOL_QUERIES, "bool")
+
+
 _PREFIX_QUERIES = [
     {"query_id": 0, "text": "cust* data", "k": 10},
     {"query_id": 1, "text": "mer*", "k": 10},
@@ -1031,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix_nostem": _q_bm25_prefix_nostem,
         "bm25_fuzzy_nostem": _q_bm25_fuzzy_nostem,
         "bm25_regex_nostem": _q_bm25_regex_nostem,
+        "bm25_bool_nostem": _q_bm25_bool_nostem,
         "bm25_phrase_nostem": _q_bm25_phrase_nostem,
         "bm25_near_nostem": _q_bm25_near_nostem,
         "verify_invariant": _q_verify_invariant,
@@ -1271,6 +1288,86 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id) AS rank
   FROM coll WHERE rs = 1
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(round(score, 4) AS DOUBLE) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _bool_sql() -> str:
+    """BooleanQuery oracle: scoring over must+should terms; a doc
+    qualifies iff it matches every MUST term (count DISTINCT matched ==
+    |must|, vacuously true for queries without MUST) and no MUST_NOT
+    term.  Sign parsing mirrors engine.analysis.split_bool at
+    SQL-build time."""
+    from engine.analysis import split_bool
+
+    qvals, mvals, nvals = [], [], []
+    for q in _BOOL_QUERIES:
+        must_text, should_text, not_text = split_bool(q["text"])
+        must = [t.lower() for t in must_text.split(" ") if t]
+        should = [t.lower() for t in should_text.split(" ") if t]
+        nots = [t.lower() for t in not_text.split(" ") if t]
+        seen: list[str] = []
+        for t in must + should:
+            if t not in seen:
+                seen.append(t)
+        for t in seen:
+            qvals.append(f"({q['query_id']}, '{t}')")
+        for t in dict.fromkeys(must):
+            mvals.append(f"({q['query_id']}, '{t}')")
+        for t in dict.fromkeys(nots):
+            nvals.append(f"({q['query_id']}, '{t}')")
+    nq_cte = (
+        f"nq(query_id, term) AS (VALUES {', '.join(nvals)})"
+        if nvals
+        else "nq(query_id, term) AS (SELECT 0, '' WHERE false)"
+    )
+    return f"""
+WITH tok2 AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {', '.join(qvals)}),
+mq(query_id, term) AS (VALUES {', '.join(mvals)}),
+{nq_cte},
+hm AS (SELECT query_id, count(*) AS n FROM mq GROUP BY query_id),
+mm AS (
+  SELECT mq.query_id, tf.doc_id, count(DISTINCT mq.term) AS c
+  FROM mq JOIN tf ON tf.term = mq.term GROUP BY mq.query_id, tf.doc_id
+),
+cand AS (
+  SELECT mm.query_id, mm.doc_id
+  FROM mm JOIN hm ON hm.query_id = mm.query_id WHERE mm.c = hm.n
+),
+exd AS (SELECT DISTINCT nq.query_id, tf.doc_id FROM nq JOIN tf ON nq.term = tf.term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON q.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score DESC, sc.doc_id) AS rank
+  FROM scores sc
+  LEFT JOIN hm ON hm.query_id = sc.query_id
+  LEFT JOIN cand c ON c.query_id = sc.query_id AND c.doc_id = sc.doc_id
+  LEFT JOIN exd e ON e.query_id = sc.query_id AND e.doc_id = sc.doc_id
+  WHERE (hm.query_id IS NULL OR c.doc_id IS NOT NULL) AND e.doc_id IS NULL
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
@@ -1858,6 +1955,7 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
         "bm25_prefix_nostem": _bm25_expand_sql(_PREFIX_QUERIES, "prefix"),
         "bm25_fuzzy_nostem": _bm25_expand_sql(_FUZZY_QUERIES, "fuzzy"),
         "bm25_regex_nostem": _bm25_expand_sql(_REGEX_QUERIES, "regex"),
+        "bm25_bool_nostem": _bool_sql(),
         "bm25_phrase_nostem": _phrase_sql(),
         "bm25_near_nostem": _near_sql(),
         "more_like_this": _more_like_this_sql(),

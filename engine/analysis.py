@@ -247,6 +247,22 @@ def split_signed(text: str) -> tuple[str, str]:
     return " ".join(pos), " ".join(neg)
 
 
+def split_bool(text: str) -> tuple[str, str, str]:
+    """Lucene-BooleanQuery syntax (M8): '+term' is MUST, '-term' is
+    MUST_NOT, bare terms are SHOULD.  Returns (must_text, should_text,
+    not_text), each a space-joined remainder fed to the normal analyzer
+    afterwards.  Bare '+' / '-' stay SHOULD text."""
+    must, should, nots = [], [], []
+    for w in text.split():
+        if len(w) > 1 and w.startswith("+"):
+            must.append(w[1:])
+        elif len(w) > 1 and w.startswith("-"):
+            nots.append(w[1:])
+        else:
+            should.append(w)
+    return " ".join(must), " ".join(should), " ".join(nots)
+
+
 def split_wildcard(text: str) -> tuple[str, list[str]]:
     """Prefix-query syntax (M8): whitespace tokens ending with a single
     trailing '*' are PREFIX terms.  Returns (plain_text, prefixes):

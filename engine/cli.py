@@ -153,8 +153,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("queries", help="JSONL or parquet with query_id,text,k")
     q.add_argument("--mode", default="auto", choices=["auto", "wand", "exhaustive"])
     q.add_argument("--match", default="any",
-                   choices=["any", "all", "phrase", "near", "not", "prefix",
-                            "fuzzy", "regex"])
+                   choices=["any", "all", "phrase", "near", "not", "bool",
+                            "prefix", "fuzzy", "regex"])
     q.add_argument("--slop", type=int, default=2,
                    help="proximity window slack for --match near")
     q.add_argument("--lang", default=None,

@@ -422,7 +422,27 @@ class IndexReader:
                 seg, qt, k, self.avg_doc_len,
                 exclude=self._lang_exclude(seg, filter_lang),
             )
-        if match == "not":
+        if match == "bool":
+            must_text, should_text, not_text = analysis.split_bool(text)
+            must = analyze_query(self.analyzer, must_text)
+            if any(self.global_df.get(t, 0) == 0 for t in must):
+                return []  # an OOV MUST term can match nothing
+            seen: set[str] = set()
+            qt = []
+            for t in must + analyze_query(self.analyzer, should_text):
+                if t in seen:
+                    continue
+                seen.add(t)
+                df = self.global_df.get(t, 0)
+                if df > 0:
+                    qt.append((t, bm25.idf(df, self.num_docs)))
+            if not qt:
+                return []
+            neg = analyze_query(self.analyzer, not_text)
+            hits = wand.bool_topk(
+                seg, list(dict.fromkeys(must)), qt, neg, k, self.avg_doc_len
+            )
+        elif match == "not":
             pos_text, neg_text = analysis.split_signed(text)
             qt = self.qterms(pos_text)
             if not qt:

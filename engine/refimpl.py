@@ -138,6 +138,59 @@ class RefIndex:
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
 
+    def topk_bool(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Lucene-BooleanQuery semantics ('+must should -not',
+        analysis.split_bool syntax): docs contain every MUST term and
+        no MUST_NOT term; score = disjunctive BM25 over must + should
+        terms (analyzed first-occurrence order, present terms only)."""
+        must_text, should_text, not_text = analysis.split_bool(text)
+        must = self.analyze_query(must_text)
+        if any(self.df(t) == 0 for t in must):
+            return []
+        banned: set[int] = set()
+        for t in self.analyze_query(not_text):
+            banned.update(did for did, _ in self.postings.get(t, ()))
+        seen: set[str] = set()
+        qt: list[str] = []
+        for t in must + self.analyze_query(should_text):
+            if t not in seen:
+                seen.add(t)
+                if self.df(t) > 0:
+                    qt.append(t)
+        if not qt:
+            return []
+        if must:
+            docsets = [
+                {did for did, _ in self.postings.get(t, ())}
+                for t in dict.fromkeys(must)
+            ]
+            cand = set.intersection(*docsets) - banned
+            scores: dict[int, float] = {d: 0.0 for d in cand}
+            for t in qt:
+                plist = self.postings.get(t, ())
+                idf_t = bm25.idf(len(plist), self.num_docs) if plist else 0.0
+                for did, tf in plist:
+                    if did in scores:
+                        scores[did] += idf_t * bm25.tf_part(
+                            float(tf), float(self.doc_len[did]), self.avg_doc_len
+                        )
+            ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+            return ranked[:k]
+        scores = {}
+        for t in qt:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            idf_t = bm25.idf(len(plist), self.num_docs)
+            for did, tf in plist:
+                if did in banned:
+                    continue
+                scores[did] = scores.get(did, 0.0) + idf_t * bm25.tf_part(
+                    float(tf), float(self.doc_len[did]), self.avg_doc_len
+                )
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+        return ranked[:k]
+
     def topk_collapse(self, text: str, k: int = 10,
                       field: str = "repo") -> list[tuple[int, float]]:
         """Field collapsing: full disjunctive ranking, then keep only

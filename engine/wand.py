@@ -515,3 +515,59 @@ def near_topk(seg: Segment, terms: list[str],
     order = np.lexsort((seg.doc_ids[cand], -scores))[:k]
     sel = cand[order]
     return [(int(o), float(s)) for o, s in zip(sel, scores[order])]
+
+
+def bool_topk(seg: Segment, must_terms: list[str],
+              qterms: list[tuple[str, float]], neg_terms: list[str],
+              k: int, avg_doc_len: float) -> list[tuple[int, float]]:
+    """Lucene-BooleanQuery top-k: candidates must contain EVERY term in
+    ``must_terms`` and none of ``neg_terms``; scoring is the
+    disjunctive sum over ``qterms`` (must + should, analyzed order —
+    SHOULD terms contribute only where present).  With no must terms
+    this is exactly not_topk."""
+    if not qterms:
+        return []
+    if not must_terms:
+        return not_topk(seg, qterms, neg_terms, k, avg_doc_len)
+    decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for term in must_terms:
+        row = seg.term_idx.get(term)
+        if row is None or seg.n_postings[row] == 0:
+            return []
+        decoded[term] = seg.decode_idx_cached(row)
+    cand = decoded[must_terms[0]][0]
+    for term in must_terms[1:]:
+        cand = np.intersect1d(cand, decoded[term][0], assume_unique=True)
+        if cand.size == 0:
+            return []
+    excl = []
+    for t in neg_terms:
+        row = seg.term_idx.get(t)
+        if row is not None:
+            ords, _ = seg.decode_idx_cached(row)
+            if ords.size:
+                excl.append(ords)
+    if excl:
+        cand = cand[~np.isin(cand, np.unique(np.concatenate(excl)))]
+        if cand.size == 0:
+            return []
+    dl = seg.doc_lens[cand]
+    scores = np.zeros(cand.size, dtype=np.float64)
+    n = seg.num_docs
+    for term, idf in qterms:
+        row = seg.term_idx.get(term)
+        if row is None:
+            continue
+        ords, tfs = seg.decode_idx_cached(row)
+        if ords.size == 0:
+            continue
+        sel = np.searchsorted(ords, cand)
+        sel_c = np.minimum(sel, len(ords) - 1)
+        present = ords[sel_c] == cand
+        tf = np.where(present, tfs[sel_c], 0).astype(np.float64)
+        contrib = idf * ((tf * (bm25.K1 + 1.0)) /
+                         (tf + bm25.K1 * (1.0 - bm25.B + bm25.B * (dl / avg_doc_len))))
+        scores += np.where(present, contrib, 0.0)
+    order = np.lexsort((seg.doc_ids[cand], -scores))[:k]
+    sel = cand[order]
+    return [(int(o), float(s)) for o, s in zip(sel, scores[order])]

@@ -333,3 +333,35 @@ def test_near_rank_identity(built_index):
     got = _pairs(rd.search(t, 10, match="near", slop=10_000))
     want = ref.topk_and(t, 10)
     _assert_same(got, want, (t, "slop=inf"))
+
+
+_BOOL_QUERIES = [
+    "+def import pasi",          # must + two should
+    "+pasi +giga falugo",        # two must
+    "+def -import pali",         # must + not + should
+    "pasi giga -def",            # no must (pure should/not)
+    "+zzz_oov pasi",             # OOV must -> empty
+    "+def +import -pasi -giga",  # must only, double exclusion
+]
+
+
+def test_bool_rank_identity(built_index):
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    n_nonempty = 0
+    for text in _BOOL_QUERIES:
+        want = ref.topk_bool(text, 10)
+        got = _pairs(rd.search(text, 10, match="bool"))
+        _assert_same(got, want, text)
+        n_nonempty += bool(want)
+    assert n_nonempty >= 4
+    assert rd.search("+zzz_oov pasi", 10, match="bool") == []
+    # must docs really contain the must term; banned really absent
+    hits = rd.search("+def -import pali", 30, match="bool")
+    for h in hits:
+        meta_terms = set()  # reconstruct from refimpl postings
+    post_def = {d for d, _ in ref.postings.get("def", ())}
+    post_imp = {d for d, _ in ref.postings.get("import", ())}
+    for h in hits:
+        assert h["doc_id"] in post_def
+        assert h["doc_id"] not in post_imp
