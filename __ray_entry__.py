@@ -212,6 +212,42 @@ def _q_bm25_delete_nostem(sf_dir: str):
     )
 
 
+def _q_explain_scores(sf_dir: str):
+    """Scoring transparency (Lucene Explanation): for each query's
+    rank-1 doc, the per-term BM25 contribution breakdown — terms sum
+    to the doc's reported score."""
+    from engine.query import IndexReader, run_queries
+
+    out = _build_simple_index(sf_dir)
+    res = run_queries(out, _BM25_QUERIES, concurrency=(1, 4)).to_pandas()
+    top1 = res[res["rank"] == 1]
+    rd = IndexReader(out)
+    rows = []
+    for r in top1.itertuples():
+        for e in rd.explain(
+            next(q["text"] for q in _BM25_QUERIES if q["query_id"] == r.query_id),
+            int(r.doc_id),
+        ):
+            rows.append(
+                {
+                    "query_id": int(r.query_id),
+                    "term": e["term"],
+                    "doc_id": _source_doc_id(r.path),
+                    "tf": e["tf"],
+                    "df": e["df"],
+                    "contrib_r": round(e["contrib"], 6),
+                }
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("term", pa.string()),
+             ("doc_id", pa.int64()), ("tf", pa.int64()), ("df", pa.int64()),
+             ("contrib_r", pa.float64())]
+        ),
+    )
+
+
 def _q_bm25_incremental(sf_dir: str):
     """BM25 over an index built INCREMENTALLY (engine.build
     add_documents): even-doc_id documents are the base build, odd ones
@@ -1042,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk_nostem": _q_tfidf_topk_nostem,
         "bm25_collapse_nostem": _q_bm25_collapse_nostem,
         "hybrid_search": _q_hybrid_search,
+        "explain_scores": _q_explain_scores,
         "bm25_and_nostem": _q_bm25_and_nostem,
         "bm25_not_nostem": _q_bm25_not_nostem,
         "bm25_prefix_nostem": _q_bm25_prefix_nostem,
@@ -1292,6 +1329,63 @@ ranked AS (
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
 FROM ranked WHERE rank <= 10
+"""
+
+
+def _explain_sql() -> str:
+    """Explanation oracle: the BM25 CTE's rank-1 doc per query, then
+    one row per present query term with its contribution."""
+    vals = []
+    for q in _BM25_QUERIES:
+        seen = []
+        for t in q["text"].split(" "):
+            t = t.lower()
+            if t and t not in seen:
+                seen.append(t)
+        for t in seen:
+            vals.append(f"({q['query_id']}, '{t}')")
+    values = ", ".join(vals)
+    return f"""
+WITH tok2 AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON q.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+top1 AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores QUALIFY rank = 1
+)
+SELECT q.query_id, q.term, t1.doc_id,
+       CAST(tf.tf AS BIGINT) AS tf, CAST(dft.df AS BIGINT) AS df,
+       CAST(round(
+         ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))),
+       6) AS DOUBLE) AS contrib_r
+FROM q
+JOIN top1 t1 ON t1.query_id = q.query_id
+JOIN tf ON tf.term = q.term AND tf.doc_id = t1.doc_id
+JOIN dft ON dft.term = q.term
+JOIN dl ON dl.doc_id = t1.doc_id
+CROSS JOIN stats s
 """
 
 
@@ -1950,6 +2044,7 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
         "tfidf_topk_nostem": _tfidf_sql(),
         "bm25_collapse_nostem": _bm25_collapse_sql(),
         "hybrid_search": _hybrid_sql(),
+        "explain_scores": _explain_sql(),
         "bm25_and_nostem": _bm25_sql(conjunctive=True),
         "bm25_not_nostem": _bm25_not_sql(),
         "bm25_prefix_nostem": _bm25_expand_sql(_PREFIX_QUERIES, "prefix"),

@@ -505,6 +505,38 @@ class IndexReader:
                 return seg_id, o
         return None
 
+    def explain(self, text: str, doc_id: int) -> list[dict]:
+        """Scoring transparency (Lucene Explanation): per query term
+        present in the doc, its df / idf / tf and BM25 contribution;
+        the contributions sum to the doc's score in analyzed-term
+        order.  One point lookup + one postings probe per term."""
+        loc = self.locate(doc_id)
+        if loc is None:
+            raise KeyError(f"doc_id {doc_id} not in index")
+        seg = self.segment(loc[0])
+        o = loc[1]
+        dl = float(seg.doc_lens[o])
+        out = []
+        for t, idf in self.qterms(text):
+            row = seg.term_idx.get(t)
+            if row is None:
+                continue
+            ords, tfs = seg.decode_idx_cached(row)
+            j = int(np.searchsorted(ords, o))
+            if j >= len(ords) or int(ords[j]) != o:
+                continue
+            tf = float(tfs[j])
+            out.append(
+                {
+                    "term": t,
+                    "df": int(self.global_df.get(t, 0)),
+                    "tf": int(tf),
+                    "doc_len": int(dl),
+                    "contrib": idf * bm25.tf_part(tf, dl, self.avg_doc_len),
+                }
+            )
+        return out
+
     def more_like_this(self, doc_id: int, k: int = 10,
                        max_terms: int = 10) -> list[dict]:
         """Similar documents: BM25 with the source doc's top terms.

@@ -365,3 +365,25 @@ def test_bool_rank_identity(built_index):
     for h in hits:
         assert h["doc_id"] in post_def
         assert h["doc_id"] not in post_imp
+
+
+def test_explain_sums_to_score(built_index):
+    """explain() contributions sum (in analyzed order) to the doc's
+    reported score, for docs at several ranks."""
+    rd = IndexReader(built_index["out"])
+    n_checked = 0
+    for q in built_index["queries"][:6]:
+        hits = rd.search(q["text"], 5)
+        for h in hits[:3]:
+            rows = rd.explain(q["text"], h["doc_id"])
+            total = 0.0
+            for r in rows:
+                total += r["contrib"]
+            assert abs(total - h["score"]) <= 1e-9, (q["text"], h["doc_id"])
+            assert all(r["tf"] >= 1 and r["df"] >= 1 for r in rows)
+            n_checked += 1
+    assert n_checked >= 6
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        rd.explain("alpha", 987654321)
