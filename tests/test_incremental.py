@@ -162,3 +162,45 @@ def test_fresh_build_manifest_unchanged(incremental):
     man = read_build_manifest(incremental["full"])
     assert "generations" not in man
     assert generations(man) == [(0, 6)]
+
+
+def test_resumed_add_bytes_identical(incremental, tmp_path):
+    """An interrupted-then-resumed add produces byte-identical delta
+    segments to an uninterrupted add of the same corpus."""
+    import hashlib
+    import shutil
+
+    def _seg_hashes(idx, seg_ids):
+        out = {}
+        for sid in seg_ids:
+            p = os.path.join(idx, "segments", f"seg-{sid:05d}", "postings.bin")
+            out[sid] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+        return out
+
+    extra = []
+    for r in gen_corpus(30, seed=11):
+        r = dict(r)
+        r["repo"] = "resumeorg/" + r["repo"]
+        extra.append(r)
+
+    a = str(tmp_path / "direct")
+    b = str(tmp_path / "resumed")
+    shutil.copytree(incremental["incr"], a)
+    shutil.copytree(incremental["incr"], b)
+
+    add_documents(a, _ds(extra), num_parts=3, analyzer_concurrency=(1, 2))
+
+    # interrupt b's add: record the generation, build NOTHING, then
+    # delete one segment of a partial attempt and resume
+    add_documents(b, _ds(extra), num_parts=3, analyzer_concurrency=(1, 2))
+    # simulate losing two delta segments + stats, then resume
+    for sid in (10, 12):
+        shutil.rmtree(os.path.join(b, "segments", f"seg-{sid:05d}"))
+    os.remove(os.path.join(b, "collection_stats.json"))
+    add_documents(b, _ds(extra), num_parts=3, resume=True,
+                  analyzer_concurrency=(1, 2))
+
+    assert _seg_hashes(a, [10, 11, 12]) == _seg_hashes(b, [10, 11, 12])
+    from engine.checkpoint import read_collection_stats
+
+    assert read_collection_stats(a) == read_collection_stats(b)
