@@ -854,6 +854,14 @@ def _q_suggest_terms(sf_dir: str):
     return spell.suggest_terms(sf_dir, _SUGGEST_PREFIXES, k=5)
 
 
+def _q_corpus_mixture(sf_dir: str):
+    """Domain-mixture report: per-source doc/token counts + shares
+    (engine.textstats.corpus_mixture, combiner-first)."""
+    from engine import textstats
+
+    return textstats.corpus_mixture(sf_dir)
+
+
 def _q_split_corpus(sf_dir: str):
     """Deterministic 90/5/5 train/val/test assignment by content-key
     hash (engine.prep.split_corpus) — stable under corpus growth."""
@@ -1123,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "corpus_prep": _q_corpus_prep,
         "split_corpus": _q_split_corpus,
+        "corpus_mixture": _q_corpus_mixture,
         "partitioned_write": _q_partitioned_write,
         "quantiles_lineitem": _q_quantiles,
         "broadcast_join_suppliers": _q_broadcast_join,
@@ -2256,6 +2265,21 @@ ranked AS (
 SELECT qterm, suggestion, CAST(distance AS BIGINT) AS distance,
        CAST(cf AS BIGINT) AS cf
 FROM ranked WHERE rn = 1
+""",
+        "corpus_mixture": f"""
+WITH tok2 AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+per AS (
+  SELECT d.source, count(*) AS n_docs,
+         CAST(sum(coalesce(dl.dl, 0)) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+  GROUP BY d.source
+),
+tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM per)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       CAST(round(n_docs * 1.0 / t.td, 6) AS DOUBLE) AS doc_share_r,
+       CAST(round(n_tokens * 1.0 / t.tt, 6) AS DOUBLE) AS token_share_r
+FROM per CROSS JOIN tot t
 """,
         "split_corpus": """
 WITH h AS (

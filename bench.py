@@ -165,6 +165,58 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int, keep_index: bool = False)
     }
 
 
+def run_modes_bench(sf_dir: str, num_cpus: int, repeat: int) -> dict:
+    """Warm single-process latency per QUERY MODE over the same built
+    index (serving-path evidence for the non-default match modes and
+    the tfidf scorer)."""
+    res = run_bench(sf_dir, num_cpus, repeat, keep_index=True)
+    import glob
+
+    from engine.query import latency_profile
+
+    out = sorted(glob.glob(tempfile.gettempdir() + "/graft_bench_idx_*"))[-1]
+    derive = {
+        "any": (dict(mode="auto"), BENCH_QUERIES),
+        "all": (dict(match="all"), BENCH_QUERIES),
+        "not": (
+            dict(match="not"),
+            [dict(q, text=q["text"] + " -data") for q in BENCH_QUERIES],
+        ),
+        "bool": (
+            dict(match="bool"),
+            [
+                dict(q, text="+" + q["text"].replace(" ", " ", 1))
+                for q in BENCH_QUERIES
+            ],
+        ),
+        "near_slop4": (dict(match="near", slop=4), BENCH_QUERIES),
+        "prefix": (
+            dict(match="prefix"),
+            [dict(q, text=q["text"].split()[0][:4] + "*") for q in BENCH_QUERIES],
+        ),
+        "fuzzy": (
+            dict(match="fuzzy"),
+            [dict(q, text=q["text"].split()[0] + "~") for q in BENCH_QUERIES],
+        ),
+        "regex": (
+            dict(match="regex"),
+            [dict(q, text=q["text"].split()[0][:3] + "[a-z]*") for q in BENCH_QUERIES],
+        ),
+        "tfidf": (dict(scorer="tfidf"), BENCH_QUERIES),
+    }
+    modes = {}
+    for name, (kw, qs) in derive.items():
+        prof = latency_profile(out, qs, min_executions=100, max_seconds=20.0, **kw)
+        modes[name] = {
+            "p50_ms": prof["p50_ms"], "p99_ms": prof["p99_ms"],
+            "qps": prof["qps_single_process"],
+        }
+    shutil.rmtree(out, ignore_errors=True)
+    res["metric"] = "per-query-mode warm latency (500k-doc index)"
+    res["modes"] = modes
+    return res
+
+
 def run_dedup_bench(sf_dir: str, num_cpus: int) -> dict:
     """Wall time of the dedup/near-dup family over sf_dir documents +
     embeddings (each operator consumed with count() — streams, no
@@ -259,6 +311,8 @@ def main() -> None:
                     help="run at two CPU counts in fresh processes, report efficiency")
     ap.add_argument("--dedup", action="store_true",
                     help="benchmark the dedup/near-dup operator family instead")
+    ap.add_argument("--modes", action="store_true",
+                    help="benchmark warm latency of every query mode")
     ap.add_argument("--cpus-lo", type=int, default=2)
     ap.add_argument("--cpus-hi", type=int, default=8)
     args = ap.parse_args()
@@ -270,6 +324,12 @@ def main() -> None:
     elif args.dedup:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         result = run_dedup_bench(args.sf_dir, num_cpus)
+        import ray
+
+        ray.shutdown()
+    elif args.modes:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        result = run_modes_bench(args.sf_dir, num_cpus, args.repeat)
         import ray
 
         ray.shutdown()

@@ -878,6 +878,7 @@ def run_queries(
 def latency_profile(
     index_dir: str, queries: list[dict], mode: str = "auto",
     min_executions: int = 1000, max_seconds: float = 60.0,
+    match: str = "any", scorer: str = "bm25", slop: int = 2,
 ) -> dict:
     """p50/p99 per-query latency on a WARM reader (BASELINE.md metric):
     repeats the query set until >= min_executions or ``max_seconds`` of
@@ -887,13 +888,15 @@ def latency_profile(
     kernels as the actor path."""
     rd = IndexReader(index_dir)
     for q in queries:  # warm every segment + dictionary path
-        rd.search(q["text"], int(q.get("k", 10)), mode)
+        rd.search(q["text"], int(q.get("k", 10)), mode, match, slop=slop,
+                  scorer=scorer)
     lat: list[float] = []
     t_start = time.perf_counter()
     while len(lat) < min_executions and time.perf_counter() - t_start < max_seconds:
         for q in queries:
             t0 = time.perf_counter()
-            rd.search(q["text"], int(q.get("k", 10)), mode)
+            rd.search(q["text"], int(q.get("k", 10)), mode, match, slop=slop,
+                      scorer=scorer)
             lat.append(time.perf_counter() - t0)
     a = np.array(lat)
     return {
@@ -903,4 +906,5 @@ def latency_profile(
         "mean_ms": round(float(a.mean()) * 1e3, 3),
         "qps_single_process": round(a.size / float(a.sum()), 1),
         "mode": mode,
+        "match": match,
     }

@@ -373,6 +373,11 @@ class Segment:
         self._dec_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._dec_cached_postings = 0
         self._dec_cache_max = 4_000_000  # postings (~64 MB at 16 B each)
+        # decoded-positions LRU (positional queries re-probe Zipf-head
+        # terms); bounded by position count
+        self._pos_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._pos_cached_positions = 0
+        self._pos_cache_max = 4_000_000  # positions (~32 MB at 8 B each)
         # forward-index point-lookup state (lazy; one row group cached)
         self._fwd_pf: pq.ParquetFile | None = None
         self._fwd_rg_max: np.ndarray | None = None
@@ -479,23 +484,53 @@ class Segment:
         ).astype(np.int64)
         return ords, tfs
 
+    def decode_positions_flat(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """All of a term's positions as ONE flat array + per-posting
+        counts (aligned with decode_idx's ordinals) — fully vectorized:
+        the per-doc position cumsum is a global cumsum minus each doc's
+        exclusive prefix (no per-posting Python loop).  Results are
+        LRU-cached (read-only!) like decoded postings: positional
+        queries re-probe the same Zipf-head terms every request, and a
+        cold decode costs a varbyte pass over cf positions."""
+        i = self.term_idx.get(term)
+        if i is None:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        hit = self._pos_cache.get(i)
+        if hit is not None:
+            del self._pos_cache[i]
+            self._pos_cache[i] = hit  # move to MRU
+            return hit
+        _, tfs = self.decode_idx_cached(i)
+        total = int(tfs.sum())
+        flat = vb_decode(
+            self.buf[self.pos_off[i] : self.pos_off[i] + self.pos_nbytes[i]],
+            count=total,
+        ).astype(np.int64)
+        if total == 0:
+            out = (flat, tfs)
+        else:
+            g = np.cumsum(flat)
+            ends = np.cumsum(tfs)
+            prefix = np.concatenate(([0], g[ends[:-1] - 1]))
+            out = (g - np.repeat(prefix, tfs), tfs)
+        if total <= self._pos_cache_max:
+            while (
+                self._pos_cached_positions + total > self._pos_cache_max
+                and self._pos_cache
+            ):
+                old = next(iter(self._pos_cache))
+                self._pos_cached_positions -= len(self._pos_cache.pop(old)[0])
+            self._pos_cache[i] = out
+            self._pos_cached_positions += total
+        return out
+
     def decode_positions(self, term: str) -> list[np.ndarray]:
         """Per-posting position arrays (phrase/positional queries)."""
         i = self.term_idx.get(term)
         if i is None:
             return []
-        _, tfs = self.decode_idx(i)
-        flat = vb_decode(
-            self.buf[self.pos_off[i] : self.pos_off[i] + self.pos_nbytes[i]],
-            count=int(tfs.sum()),
-        ).astype(np.int64)
-        out = []
-        start = 0
-        for c in tfs:
-            c = int(c)
-            out.append(np.cumsum(flat[start : start + c]))
-            start += c
-        return out
+        pos, tfs = self.decode_positions_flat(term)
+        return np.split(pos, np.cumsum(tfs)[:-1]) if len(tfs) else []
 
     def decode_block(self, i: int, blk: int) -> tuple[np.ndarray, np.ndarray]:
         """Decode one 128-posting block of term row i -> (ords, tfs)."""

@@ -435,3 +435,64 @@ def snippets(
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(fn, batch_format="pyarrow")
+
+
+def corpus_mixture(sf_dir: str) -> pa.Table:
+    """Domain-mixture report (pretraining data curation): per source,
+    document and token counts plus corpus shares — the table a mixture
+    re-weighting decision reads.  Combiner-first: each batch emits one
+    (source, n_docs, n_tokens) partial, so the exchange is
+    O(sources x blocks) rows to the driver, never documents."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_rep, _, _ = _split_lower(batch)
+        n = batch.num_rows
+        tok_per_doc = np.bincount(doc_rep, minlength=n).astype(np.int64)
+        src = batch.column("source").to_pylist()
+        agg: dict[str, list[int]] = {}
+        for i, s in enumerate(src):
+            a = agg.setdefault(s, [0, 0])
+            a[0] += 1
+            a[1] += int(tok_per_doc[i])
+        return pa.table(
+            {
+                "source": pa.array(list(agg), pa.string()),
+                "n_docs": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "n_tokens": pa.array([v[1] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["source"], [0, 0])
+        a[0] += r["n_docs"]
+        a[1] += r["n_tokens"]
+    total_docs = sum(v[0] for v in agg.values())
+    total_toks = sum(v[1] for v in agg.values())
+    from .functions import round6
+
+    rows = [
+        {
+            "source": s,
+            "n_docs": v[0],
+            "n_tokens": v[1],
+            "doc_share_r": round6(v[0] / total_docs) if total_docs else 0.0,
+            "token_share_r": round6(v[1] / total_toks) if total_toks else 0.0,
+        }
+        for s, v in sorted(agg.items())
+    ]
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("source", pa.string()), ("n_docs", pa.int64()),
+             ("n_tokens", pa.int64()), ("doc_share_r", pa.float64()),
+             ("token_share_r", pa.float64())]
+        ),
+    )

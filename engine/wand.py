@@ -452,8 +452,9 @@ def exhaustive_topk_tfidf(seg: Segment, qterms: list[tuple[str, float]],
 def _min_span(poss: list[np.ndarray]) -> int:
     """Minimal (max - min) over choosing one position from each sorted
     list — the classic k-pointer sweep: repeatedly advance the minimum
-    pointer; O(total positions x log k is avoidable; k is tiny, so a
-    linear min scan per step suffices)."""
+    pointer.  Scalar reference implementation; the serving path uses
+    the vectorized anchor sweep in near_topk (differential-tested in
+    tests/test_match_modes.py)."""
     idx = [0] * len(poss)
     cur = [int(p[0]) for p in poss]
     best = max(cur) - min(cur)
@@ -467,6 +468,47 @@ def _min_span(poss: list[np.ndarray]) -> int:
         if span < best:
             best = span
     return best
+
+
+_NEAR_BIG = np.int64(1) << 32  # per-candidate-doc position offset
+_NEAR_HUGE = np.int64(1) << 62  # "no next position" sentinel
+
+
+def _near_matches(cand: np.ndarray, per_term_pos: list[list[np.ndarray]],
+                  limit: int) -> np.ndarray:
+    """Candidate ranks whose minimal window span is <= ``limit`` —
+    VECTORIZED across all candidate docs at once.
+
+    Every minimal window starts at some term's position p and ends at
+    max_i next_i(p) (each other term's smallest position >= p), so
+    min-span(doc) = min over anchors p of max_i next_i(p) - p.
+    Positions are offset by candidate-rank * 2^32, giving ONE sorted
+    array per term across every candidate; a window whose next_i falls
+    in a different doc exceeds 2^32 - doc_len > limit and drops out by
+    construction.  Cost: one concatenate + one searchsorted per term
+    over the flattened anchors — no per-doc Python loop."""
+    cats = []
+    for plist in per_term_pos:
+        lens = np.fromiter((len(p) for p in plist), dtype=np.int64,
+                           count=len(plist))
+        offs = np.repeat(np.arange(len(plist), dtype=np.int64) * _NEAR_BIG, lens)
+        cats.append(np.concatenate(plist) + offs if plist else
+                    np.zeros(0, np.int64))
+    return _near_matches_cats(cats, limit)
+
+
+def _near_matches_cats(cats: list[np.ndarray], limit: int) -> np.ndarray:
+    """Core of the anchor sweep over per-term offset position arrays
+    (see _near_matches)."""
+    anchors = np.concatenate(cats)
+    window_end = np.full(anchors.size, -1, dtype=np.int64)
+    for cat in cats:
+        padded = np.append(cat, _NEAR_HUGE)
+        nxt = padded[np.searchsorted(cat, anchors, side="left")]
+        np.maximum(window_end, nxt, out=window_end)
+    ok = (window_end - anchors) <= limit
+    ranks = np.unique(anchors[ok] >> 32)
+    return ranks
 
 
 def near_topk(seg: Segment, terms: list[str],
@@ -491,19 +533,26 @@ def near_topk(seg: Segment, terms: list[str],
         cand = np.intersect1d(cand, decoded[term][0], assume_unique=True)
         if cand.size == 0:
             return []
-    poslists = {t: seg.decode_positions(t) for t in terms}
-    posmaps = {}
-    for t in terms:
-        ords = decoded[t][0]
-        posmaps[t] = {int(o): pl for o, pl in zip(ords, poslists[t])}
     limit = (len(terms) - 1) + slop
-    hits = [
-        int(o) for o in cand
-        if _min_span([posmaps[t][int(o)] for t in terms]) <= limit
-    ]
-    if not hits:
+    cats: list[np.ndarray] = []
+    ranks_arr = np.arange(cand.size, dtype=np.int64)
+    for t in terms:
+        pos, tfs = seg.decode_positions_flat(t)
+        ords = decoded[t][0]
+        sel = np.searchsorted(ords, cand)  # cand ⊆ ords
+        lens = tfs[sel]
+        starts = (np.cumsum(tfs) - tfs)[sel]
+        total = int(lens.sum())
+        # gather each candidate's position slice without a per-doc loop
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        idx = np.repeat(starts, lens) + within
+        cats.append(pos[idx] + np.repeat(ranks_arr * _NEAR_BIG, lens))
+    ranks = _near_matches_cats(cats, limit)
+    if ranks.size == 0:
         return []
-    cand = np.asarray(hits, dtype=np.int64)
+    cand = cand[ranks]
     dl = seg.doc_lens[cand]
     scores = np.zeros(cand.size, dtype=np.float64)
     for term, idf in qterms:

@@ -387,3 +387,35 @@ def test_explain_sums_to_score(built_index):
 
     with _pytest.raises(KeyError):
         rd.explain("alpha", 987654321)
+
+
+def test_near_vectorized_vs_scalar_sweep():
+    """Property: the vectorized anchor sweep (_near_matches) agrees
+    with the scalar k-pointer reference (_min_span) on random inputs."""
+    import random
+
+    import numpy as np
+
+    from engine.wand import _min_span, _near_matches
+
+    rng = random.Random(77)
+    for trial in range(200):
+        m = rng.randint(1, 4)
+        n_docs = rng.randint(1, 12)
+        per_term = []
+        for _ in range(m):
+            docs = []
+            for _ in range(n_docs):
+                n = rng.randint(1, 6)
+                docs.append(np.array(
+                    sorted(rng.sample(range(60), n)), dtype=np.int64))
+            per_term.append(docs)
+        limit = rng.randint(0, 20)
+        want = {
+            d for d in range(n_docs)
+            if _min_span([per_term[t][d] for t in range(m)]) <= limit
+        }
+        got = set(
+            _near_matches(np.arange(n_docs), per_term, limit).tolist()
+        )
+        assert got == want, (trial, limit)
