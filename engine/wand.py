@@ -600,23 +600,43 @@ def bool_topk(seg: Segment, must_terms: list[str],
         cand = cand[~np.isin(cand, np.unique(np.concatenate(excl)))]
         if cand.size == 0:
             return []
-    dl = seg.doc_lens[cand]
-    scores = np.zeros(cand.size, dtype=np.float64)
-    n = seg.num_docs
-    for term, idf in qterms:
-        row = seg.term_idx.get(term)
-        if row is None:
-            continue
-        ords, tfs = seg.decode_idx_cached(row)
-        if ords.size == 0:
-            continue
-        sel = np.searchsorted(ords, cand)
-        sel_c = np.minimum(sel, len(ords) - 1)
-        present = ords[sel_c] == cand
-        tf = np.where(present, tfs[sel_c], 0).astype(np.float64)
-        contrib = idf * ((tf * (bm25.K1 + 1.0)) /
-                         (tf + bm25.K1 * (1.0 - bm25.B + bm25.B * (dl / avg_doc_len))))
-        scores += np.where(present, contrib, 0.0)
+    if cand.size * 4 > seg.num_docs:
+        # DENSE candidates (Zipf-head must terms): scatter-add over the
+        # whole doc-length array like exhaustive_topk, then select the
+        # candidates — O(postings) scatter beats O(cand log n)
+        # searchsorted per term.  Identical floats: contributions add
+        # per doc in qterms order either way.
+        full = np.zeros(seg.num_docs, dtype=np.float64)
+        dl_full = seg.doc_lens
+        for term, idf in qterms:
+            row = seg.term_idx.get(term)
+            if row is None:
+                continue
+            ords, tfs = seg.decode_idx_cached(row)
+            if ords.size == 0:
+                continue
+            tf = tfs.astype(np.float64)
+            d = dl_full[ords]
+            full[ords] += idf * ((tf * (bm25.K1 + 1.0)) /
+                                 (tf + bm25.K1 * (1.0 - bm25.B + bm25.B * (d / avg_doc_len))))
+        scores = full[cand]
+    else:
+        dl = seg.doc_lens[cand]
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for term, idf in qterms:
+            row = seg.term_idx.get(term)
+            if row is None:
+                continue
+            ords, tfs = seg.decode_idx_cached(row)
+            if ords.size == 0:
+                continue
+            sel = np.searchsorted(ords, cand)
+            sel_c = np.minimum(sel, len(ords) - 1)
+            present = ords[sel_c] == cand
+            tf = np.where(present, tfs[sel_c], 0).astype(np.float64)
+            contrib = idf * ((tf * (bm25.K1 + 1.0)) /
+                             (tf + bm25.K1 * (1.0 - bm25.B + bm25.B * (dl / avg_doc_len))))
+            scores += np.where(present, contrib, 0.0)
     order = np.lexsort((seg.doc_ids[cand], -scores))[:k]
     sel = cand[order]
     return [(int(o), float(s)) for o, s in zip(sel, scores[order])]
