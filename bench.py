@@ -204,6 +204,25 @@ def run_modes_bench(sf_dir: str, num_cpus: int, repeat: int) -> dict:
         ),
         "tfidf": (dict(scorer="tfidf"), BENCH_QUERIES),
     }
+    # phrase queries must be real sequences: lift bigrams/trigrams from
+    # the first corpus doc (the analyzer's own token stream)
+    import pyarrow.parquet as _pq
+
+    from engine.analysis import get_analyzer
+
+    first = _pq.read_table(
+        sorted(glob.glob(prepare_corpus(sf_dir, repeat) + "/*.parquet"))[0],
+        columns=["content"],
+    ).column("content")[0].as_py()
+    toks = get_analyzer("code")(first)
+    derive["phrase"] = (
+        dict(match="phrase"),
+        [
+            {"query_id": 0, "text": " ".join(toks[0:2]), "k": 10},
+            {"query_id": 1, "text": " ".join(toks[2:5]), "k": 10},
+            {"query_id": 2, "text": " ".join(toks[5:7]), "k": 10},
+        ],
+    )
     modes = {}
     for name, (kw, qs) in derive.items():
         prof = latency_profile(out, qs, min_executions=100, max_seconds=20.0, **kw)

@@ -287,25 +287,40 @@ def phrase_topk(seg: Segment, seq: list[str], qterms: list[tuple[str, float]],
         cand = np.intersect1d(cand, decoded[term][0], assume_unique=True)
         if cand.size == 0:
             return []
-    # positional verification (positions decoded lazily per term)
-    poslists = {t: seg.decode_positions(t) for t in distinct}
-    posmaps = {}
+    # positional verification — VECTORIZED across all candidate docs:
+    # anchor positions of seq[0] (offset by candidate-rank * 2^32) are
+    # contiguity-checked by sorted-membership of anchor+i in seq[i]'s
+    # offset position array; anchor+i never collides across docs
+    # (offsets differ by 2^32 >> doc_len + |seq|).
+    cats: dict[str, np.ndarray] = {}
     for t in distinct:
+        pos, tfs = seg.decode_positions_flat(t)
         ords = decoded[t][0]
-        posmaps[t] = {int(o): pl for o, pl in zip(ords, poslists[t])}
-    hits = []
-    for o in cand:
-        starts = set(posmaps[seq[0]][int(o)].tolist())
-        for i, t in enumerate(seq[1:], 1):
-            nxt = {int(p) - i for p in posmaps[t][int(o)]}
-            starts &= nxt
-            if not starts:
-                break
-        if starts:
-            hits.append(int(o))
-    if not hits:
+        sel = np.searchsorted(ords, cand)  # cand ⊆ ords
+        lens = tfs[sel]
+        starts = (np.cumsum(tfs) - tfs)[sel]
+        total = int(lens.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        idx = np.repeat(starts, lens) + within
+        cats[t] = pos[idx] + np.repeat(
+            np.arange(cand.size, dtype=np.int64) * _NEAR_BIG, lens
+        )
+    anchors = cats[seq[0]]
+    ok = np.ones(anchors.size, dtype=bool)
+    for i, t in enumerate(seq[1:], 1):
+        cat = cats[t]
+        want = anchors + i
+        j = np.searchsorted(cat, want)
+        jc = np.minimum(j, max(len(cat) - 1, 0))
+        ok &= (len(cat) > 0) & (cat[jc] == want)
+        if not ok.any():
+            return []
+    ranks = np.unique(anchors[ok] >> 32)
+    if ranks.size == 0:
         return []
-    cand = np.asarray(hits, dtype=np.int64)
+    cand = cand[ranks]
     dl = seg.doc_lens[cand]
     scores = np.zeros(cand.size, dtype=np.float64)
     for term, idf in qterms:
