@@ -623,6 +623,28 @@ def _q_bm25_near_nostem(sf_dir: str):
     )
 
 
+def _q_export_postings(sf_dir: str):
+    """The inverted index exported back to a relational Dataset
+    (engine.build.export_postings): one row per posting with tf —
+    equal, by construction, to the corpus (doc_id, term, tf) table."""
+    from engine.build import export_postings
+
+    out = _build_simple_index(sf_dir)
+    t = pa.Table.from_pandas(
+        export_postings(out).to_pandas(), preserve_index=False
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "term": t.column("term").cast(pa.string()),
+            "tf": t.column("tf").cast(pa.int64()),
+        }
+    )
+
+
 def _q_verify_invariant(sf_dir: str):
     """M7: sha256 invariant summary row for the simple index."""
     from engine.corpus import read_corpus_from_documents
@@ -852,6 +874,15 @@ def _q_suggest_terms(sf_dir: str):
     from engine import spell
 
     return spell.suggest_terms(sf_dir, _SUGGEST_PREFIXES, k=5)
+
+
+def _q_bigram_pmi(sf_dir: str):
+    """Collocations: top-20 bigrams by PMI (min count 5) —
+    engine.textstats.bigram_pmi, combiner-first counts + broadcast
+    unigram table + partial top-k."""
+    from engine import textstats
+
+    return textstats.bigram_pmi(sf_dir, k=20, min_count=5)
 
 
 def _q_corpus_mixture(sf_dir: str):
@@ -1095,6 +1126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_bool_nostem": _q_bm25_bool_nostem,
         "bm25_phrase_nostem": _q_bm25_phrase_nostem,
         "bm25_near_nostem": _q_bm25_near_nostem,
+        "export_postings": _q_export_postings,
         "verify_invariant": _q_verify_invariant,
         "groupby_lineitem": _q_groupby_lineitem,
         "topk_orders": _q_topk_orders,
@@ -1132,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": _q_corpus_prep,
         "split_corpus": _q_split_corpus,
         "corpus_mixture": _q_corpus_mixture,
+        "bigram_pmi": _q_bigram_pmi,
         "partitioned_write": _q_partitioned_write,
         "quantiles_lineitem": _q_quantiles,
         "broadcast_join_suppliers": _q_broadcast_join,
@@ -2062,6 +2095,11 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
         "bm25_bool_nostem": _bool_sql(),
         "bm25_phrase_nostem": _phrase_sql(),
         "bm25_near_nostem": _near_sql(),
+        "export_postings": f"""
+WITH tok2 AS ({_TOK2})
+SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+FROM tok2 GROUP BY doc_id, term
+""",
         "more_like_this": _more_like_this_sql(),
         "groupby_lineitem": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
@@ -2265,6 +2303,43 @@ ranked AS (
 SELECT qterm, suggestion, CAST(distance AS BIGINT) AS distance,
        CAST(cf AS BIGINT) AS cf
 FROM ranked WHERE rn = 1
+""",
+        "bigram_pmi": f"""
+WITH tok2 AS ({_TOK2}),
+tokw AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tk FROM tokw
+),
+bg AS (
+  SELECT t1.tk || ' ' || t2.tk AS g
+  FROM tokpos t1 JOIN tokpos t2
+    ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+),
+bgc AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+uni AS (SELECT term, count(*) AS cf FROM tok2 GROUP BY term),
+tot AS (
+  SELECT (SELECT sum(cf) * 1.0 FROM uni) AS t1,
+         (SELECT sum(cf) * 1.0 FROM uni)
+           - (SELECT count(*) * 1.0 FROM documents) AS t2
+),
+pmi AS (
+  SELECT g AS bigram, c AS cnt,
+         round(ln((c * 1.0 / t.t2) /
+                  ((ca.cf * 1.0 / t.t1) * (cb.cf * 1.0 / t.t1))), 6) AS pmi_r
+  FROM bgc
+  JOIN uni ca ON ca.term = split_part(g, ' ', 1)
+  JOIN uni cb ON cb.term = split_part(g, ' ', 2)
+  CROSS JOIN tot t
+  WHERE c >= 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY pmi_r DESC, bigram) AS rank FROM pmi
+)
+SELECT CAST(rank AS BIGINT) AS rank, bigram, cnt, CAST(pmi_r AS DOUBLE) AS pmi_r
+FROM ranked WHERE rank <= 20
 """,
         "corpus_mixture": f"""
 WITH tok2 AS ({_TOK2}),

@@ -477,3 +477,74 @@ def read_doc_stats(out_dir: str) -> "ray.data.Dataset":
     the partitioned doc-stats table (resumable output layout)."""
     files = [os.path.join(s, "docs.parquet") for s in list_segments(out_dir)]
     return ray.data.read_parquet(files)
+
+
+def export_postings(index_dir: str) -> "ray.data.Dataset":
+    """The inverted index as a relational Dataset: one row per posting
+    (term, doc_id, tf, repo, path) — the bridge from index files back
+    into Ray Data for downstream analytics (term co-occurrence,
+    df audits, join-with-metadata pipelines).
+
+    One decode task per segment (vectorized varbyte decode per term,
+    doc metadata resolved by ordinal take); the term column is emitted
+    DICTIONARY-encoded, so a segment's export is ~the size of its
+    postings, not |postings| x avg-term-length strings."""
+    import pyarrow as _pa
+
+    from .segments import Segment, list_segments
+
+    seg_paths = list_segments(index_dir)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch.column("item").to_pylist():
+            seg = Segment(p)
+            v = len(seg.terms)
+            if v == 0:
+                continue
+            codes = np.repeat(
+                np.arange(v, dtype=np.int32),
+                seg.n_postings.astype(np.int64),
+            )
+            ords_all, tfs_all = [], []
+            for i in range(v):
+                o, t = seg.decode_idx(i)
+                ords_all.append(o)
+                tfs_all.append(t)
+            ords = np.concatenate(ords_all)
+            tfs = np.concatenate(tfs_all)
+            term_col = _pa.DictionaryArray.from_arrays(
+                _pa.array(codes, _pa.int32()), _pa.array(seg.terms, _pa.string())
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "term": term_col,
+                        "doc_id": pa.array(seg.doc_ids[ords], pa.int64()),
+                        "tf": pa.array(tfs.astype(np.int64), pa.int64()),
+                        "repo": pa.array(
+                            seg.repo[ords].astype(str), pa.string()
+                        ),
+                        "path": pa.array(
+                            seg.dpath[ords].astype(str), pa.string()
+                        ),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "term": _pa.DictionaryArray.from_arrays(
+                        _pa.array([], _pa.int32()), _pa.array([], _pa.string())
+                    ),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "repo": pa.array([], pa.string()),
+                    "path": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(seg_paths).map_batches(
+        decode, batch_format="pyarrow", batch_size=1
+    )

@@ -496,3 +496,104 @@ def corpus_mixture(sf_dir: str) -> pa.Table:
              ("token_share_r", pa.float64())]
         ),
     )
+
+
+def bigram_pmi(sf_dir: str, k: int = 20, min_count: int = 5) -> pa.Table:
+    """Collocations: top-k word bigrams by pointwise mutual information,
+    PMI = ln( (c_ab/T2) / ((c_a/T1) * (c_b/T1)) ), restricted to
+    bigrams with count >= min_count; ties (round6 PMI desc, bigram asc).
+
+    Shape: bigram counts ride the existing combiner-first groupby (one
+    partial row per distinct bigram per batch); the unigram table is
+    broadcast to a vectorized PMI pass whose output is per-batch
+    partial top-k rows — the driver merges O(k x blocks).  T2 (total
+    bigram windows) is closed-form T1 - num_docs, so no extra pass.
+    """
+    uni_rows = term_stats(sf_dir).select_columns(["term", "cf"]).take_all()
+    cf = {r["term"]: r["cf"] for r in uni_rows}
+    t1 = float(sum(cf.values()))
+    import json
+
+    import duckdb  # only to count docs without another Ray pass
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    t2 = t1 - float(n_docs)
+
+    import ray as _ray
+
+    cf_ref = _ray.put(cf)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        doc_rep, _, flat = _split_lower(batch)
+        empty = pa.table(
+            {"ngram": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+        )
+        if len(flat) < 2:
+            return empty
+        ok = doc_rep[:-1] == doc_rep[1:]
+        if not ok.any():
+            return empty
+        a = flat.slice(0, len(flat) - 1).filter(pa.array(ok))
+        b = flat.slice(1, len(flat) - 1).filter(pa.array(ok))
+        grams = pc.binary_join_element_wise(a, b, " ")
+        denc = pc.dictionary_encode(grams)
+        cnt = np.bincount(
+            denc.indices.to_numpy().astype(np.int64), minlength=len(denc.dictionary)
+        )
+        return pa.table(
+            {"ngram": denc.dictionary, "c": pa.array(cnt, pa.int64())}
+        )
+
+    def pmi_partial(batch: pa.Table) -> pa.Table:
+        import math
+
+        from .functions import round6
+
+        uni = _ray.get(cf_ref)
+        out = []
+        for gram, c in zip(
+            batch.column("ngram").to_pylist(), batch.column("c").to_pylist()
+        ):
+            if c < min_count:
+                continue
+            wa, wb = gram.split(" ", 1)
+            pmi = math.log(
+                (c * 1.0 / t2) / ((uni[wa] * 1.0 / t1) * (uni[wb] * 1.0 / t1))
+            )
+            out.append({"bigram": gram, "cnt": int(c), "pmi_r": round6(pmi)})
+        out.sort(key=lambda r: (-r["pmi_r"], r["bigram"]))
+        return pa.Table.from_pylist(
+            out[:k],
+            schema=pa.schema(
+                [("bigram", pa.string()), ("cnt", pa.int64()),
+                 ("pmi_r", pa.float64())]
+            ),
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("ngram")
+        .sum("c")
+        .map_batches(
+            lambda b: b.rename_columns(["ngram", "c"]), batch_format="pyarrow"
+        )
+        .map_batches(pmi_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    parts.sort(key=lambda r: (-r["pmi_r"], r["bigram"]))
+    top = parts[:k]
+    for rank, r in enumerate(top, 1):
+        r["rank"] = rank
+    return pa.Table.from_pylist(
+        [{"rank": r["rank"], "bigram": r["bigram"], "cnt": r["cnt"],
+          "pmi_r": r["pmi_r"]} for r in top],
+        schema=pa.schema(
+            [("rank", pa.int64()), ("bigram", pa.string()),
+             ("cnt", pa.int64()), ("pmi_r", pa.float64())]
+        ),
+    )

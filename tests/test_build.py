@@ -104,3 +104,23 @@ def test_dictionary_offsets_decode(built_index):
             assert (np.diff(ords) > 0).all()
             assert int(tfs.max(initial=0)) == int(s.max_tf[row])
             assert int(tfs.sum()) == int(s.cf[row])
+
+
+def test_export_postings_roundtrip(built_index):
+    """export_postings == the oracle's in-memory postings exactly."""
+    from engine.build import export_postings
+
+    ref = built_index["ref"]
+    rows = export_postings(built_index["out"]).take_all()
+    got = {(r["term"], r["doc_id"]): r["tf"] for r in rows}
+    want = {
+        (t, did): tf
+        for t, plist in ref.postings.items()
+        for did, tf in plist
+    }
+    assert got == want
+    assert len(rows) == len(got)  # no duplicate posting rows
+    # metadata resolves
+    meta = ref.doc_meta
+    for r in rows[:20]:
+        assert r["repo"] == meta[r["doc_id"]]["repo"]
