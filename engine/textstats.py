@@ -508,6 +508,13 @@ def bigram_pmi(sf_dir: str, k: int = 20, min_count: int = 5) -> pa.Table:
     broadcast to a vectorized PMI pass whose output is per-batch
     partial top-k rows — the driver merges O(k x blocks).  T2 (total
     bigram windows) is closed-form T1 - num_docs, so no extra pass.
+
+    Scale note: the broadcast unigram table is the SMALL side by
+    Heaps' law (vocabulary grows ~ corpus^0.5; ~10M terms / ~300 MB at
+    100 TB) — the standard broadcast-join trade.  If a vocabulary ever
+    exceeds worker memory, replace the broadcast with two hash joins
+    (bigram ⋈ unigram on each word) at the cost of vocab-sized
+    shuffles.
     """
     uni_rows = term_stats(sf_dir).select_columns(["term", "cf"]).take_all()
     cf = {r["term"]: r["cf"] for r in uni_rows}
