@@ -623,6 +623,30 @@ def _q_bm25_near_nostem(sf_dir: str):
     )
 
 
+def _q_bm25_sortpath_nostem(sf_dir: str):
+    """Sort-by-field search: matching docs ordered by (repo, path)
+    instead of score (Lucene Sort); per-segment field-sorted top-k +
+    field-sorted merge (selection under a total order decomposes)."""
+    from engine.query import run_queries
+
+    out = _build_simple_index(sf_dir)
+    res = run_queries(out, _BM25_QUERIES, sort_by_path=True, concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_export_postings(sf_dir: str):
     """The inverted index exported back to a relational Dataset
     (engine.build.export_postings): one row per posting with tf —
@@ -1127,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase_nostem": _q_bm25_phrase_nostem,
         "bm25_near_nostem": _q_bm25_near_nostem,
         "export_postings": _q_export_postings,
+        "bm25_sortpath_nostem": _q_bm25_sortpath_nostem,
         "verify_invariant": _q_verify_invariant,
         "groupby_lineitem": _q_groupby_lineitem,
         "topk_orders": _q_topk_orders,
@@ -2099,6 +2124,43 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
 WITH tok2 AS ({_TOK2})
 SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
 FROM tok2 GROUP BY doc_id, term
+""",
+        "bm25_sortpath_nostem": f"""
+WITH tok2 AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {", ".join(f"({q['query_id']}, '{t}')" for q in _BM25_QUERIES for t in dict.fromkeys(w.lower() for w in q["text"].split(" ") if w))}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON q.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id, sc.score,
+         row_number() OVER (
+           PARTITION BY sc.query_id
+           ORDER BY 'testdata/' || d.source,
+                    'docs/' || CAST(sc.doc_id AS VARCHAR) || '.txt',
+                    sc.doc_id
+         ) AS rank
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(round(score, 4) AS DOUBLE) AS score_r
+FROM ranked WHERE rank <= 10
 """,
         "more_like_this": _more_like_this_sql(),
         "groupby_lineitem": (

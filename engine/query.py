@@ -602,6 +602,50 @@ class IndexReader:
                 break
         return out
 
+    def score_segment_sorted(
+        self, seg_id: int, text: str, k: int,
+    ) -> list[tuple[int, float]]:
+        """Per-segment top-k of MATCHING docs ordered by (repo, path,
+        doc_id) ASC instead of score (Lucene sort-by-field): selection
+        under any total order is segment-decomposable, so per-segment
+        field-sorted top-k + a field-sorted merge is exact.  Scores are
+        still computed (vectorized scatter) and reported."""
+        seg = self.segment(seg_id)
+        qt = self.qterms(text)
+        if not qt:
+            return []
+        n = seg.num_docs
+        if n == 0:
+            return []
+        scores = np.zeros(n, dtype=np.float64)
+        touched = np.zeros(n, dtype=bool)
+        dl = seg.doc_lens
+        for term, idf in qt:
+            row = seg.term_idx.get(term)
+            if row is None:
+                continue
+            ords, tfs = seg.decode_idx_cached(row)
+            if ords.size == 0:
+                continue
+            tf = tfs.astype(np.float64)
+            d = dl[ords]
+            scores[ords] += idf * (
+                (tf * (bm25.K1 + 1.0))
+                / (tf + bm25.K1 * (1.0 - bm25.B + bm25.B * (d / self.avg_doc_len)))
+            )
+            touched[ords] = True
+        tomb = self._seg_tombstones(seg_id, seg)
+        if tomb:
+            touched[np.asarray(sorted(tomb), dtype=np.int64)] = False
+        cand = np.nonzero(touched)[0]
+        if cand.size == 0:
+            return []
+        order = np.lexsort(
+            (seg.doc_ids[cand], seg.dpath[cand], seg.repo[cand])
+        )[:k]
+        sel = cand[order]
+        return [(int(seg.doc_ids[o]), float(scores[o])) for o in sel]
+
     def _collapse_field(self, seg: Segment, field: str) -> np.ndarray:
         if field == "repo":
             return seg.repo
@@ -697,7 +741,8 @@ class SegmentScorer:
 
     def __init__(self, index_dir: str, mode: str = "auto", match: str = "any",
                  filter_lang: str | None = None, scorer: str = "bm25",
-                 collapse: str | None = None, slop: int = 2):
+                 collapse: str | None = None, slop: int = 2,
+                 sort_by_path: bool = False):
         self.reader = IndexReader(index_dir)
         self.mode = mode
         self.match = match
@@ -705,6 +750,7 @@ class SegmentScorer:
         self.scorer = scorer
         self.collapse = collapse
         self.slop = slop
+        self.sort_by_path = sort_by_path
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("query_id").to_pylist()
@@ -718,7 +764,12 @@ class SegmentScorer:
         for qid, text, k, lo, hi in zip(qids, texts, ks, los, his):
           for seg_id in range(lo, hi):
             seg = rd.segment(seg_id)
-            if self.collapse is not None:
+            if self.sort_by_path:
+                hits3 = [
+                    (did, score, None)
+                    for did, score in rd.score_segment_sorted(seg_id, text, k)
+                ]
+            elif self.collapse is not None:
                 hits3 = rd.score_segment_collapsed(
                     seg_id, text, k, self.collapse, self.mode, self.match,
                     self.filter_lang, self.scorer,
@@ -761,6 +812,28 @@ def merge_topk(group: pa.Table) -> pa.Table:
     doc_ids = group.column("doc_id").to_numpy()
     k = int(group.column("k")[0].as_py())
     order = np.lexsort((doc_ids, -scores))[:k]
+    sel = group.take(pa.array(order, pa.int64()))
+    n = sel.num_rows
+    return pa.table(
+        {
+            "query_id": sel.column("query_id"),
+            "rank": pa.array(np.arange(1, n + 1, dtype=np.int32), pa.int32()),
+            "doc_id": sel.column("doc_id"),
+            "score": sel.column("score"),
+            "repo": sel.column("repo"),
+            "path": sel.column("path"),
+        }
+    )
+
+
+def merge_topk_bypath(group: pa.Table) -> pa.Table:
+    """K3/K4 under field ordering: global top-k by (repo, path, doc_id)
+    ASC across the per-segment field-sorted partials."""
+    repo = np.asarray(group.column("repo").to_pylist(), dtype=object)
+    path = np.asarray(group.column("path").to_pylist(), dtype=object)
+    doc_ids = group.column("doc_id").to_numpy()
+    k = int(group.column("k")[0].as_py())
+    order = np.lexsort((doc_ids, path, repo))[:k]
     sel = group.take(pa.array(order, pa.int64()))
     n = sel.num_rows
     return pa.table(
@@ -820,6 +893,7 @@ def run_queries(
     scorer: str = "bm25",
     collapse: str | None = None,
     slop: int = 2,
+    sort_by_path: bool = False,
 ) -> "ray.data.Dataset":
     """Distributed query evaluation -> Dataset with RESULTS schema.
 
@@ -865,13 +939,18 @@ def run_queries(
         fn_constructor_kwargs={
             "index_dir": index_dir, "mode": mode, "match": match,
             "filter_lang": filter_lang, "scorer": scorer, "collapse": collapse,
-            "slop": slop,
+            "slop": slop, "sort_by_path": sort_by_path,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    merge = merge_topk_collapsed if collapse is not None else merge_topk
+    if sort_by_path:
+        merge = merge_topk_bypath
+    elif collapse is not None:
+        merge = merge_topk_collapsed
+    else:
+        merge = merge_topk
     return scored.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 

@@ -138,6 +138,27 @@ class RefIndex:
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
 
+    def topk_bypath(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Sort-by-field: matching docs (disjunctive) ordered by
+        (repo, path, doc_id) ASC, scores still reported."""
+        scores: dict[int, float] = {}
+        for t in self.analyze_query(text):
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            idf_t = bm25.idf(len(plist), self.num_docs)
+            for did, tf in plist:
+                scores[did] = scores.get(did, 0.0) + idf_t * bm25.tf_part(
+                    float(tf), float(self.doc_len[did]), self.avg_doc_len
+                )
+        ranked = sorted(
+            scores.items(),
+            key=lambda x: (
+                self.doc_meta[x[0]]["repo"], self.doc_meta[x[0]]["path"], x[0]
+            ),
+        )
+        return ranked[:k]
+
     def topk_bool(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Lucene-BooleanQuery semantics ('+must should -not',
         analysis.split_bool syntax): docs contain every MUST term and

@@ -419,3 +419,30 @@ def test_near_vectorized_vs_scalar_sweep():
             _near_matches(np.arange(n_docs), per_term, limit).tolist()
         )
         assert got == want, (trial, limit)
+
+
+def test_sort_by_path(built_index):
+    """Field-sorted search (ORDER BY repo, path): distributed == the
+    refimpl sort of the full match set; output really is ordered."""
+    ref = built_index["ref"]
+    queries = [
+        {"query_id": i, "text": q["text"], "k": 10}
+        for i, q in enumerate(built_index["queries"][:5])
+    ]
+    res = run_queries(
+        built_index["out"], queries, sort_by_path=True, concurrency=(1, 2)
+    ).take_all()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    n_nonempty = 0
+    for q in queries:
+        want = ref.topk_bypath(q["text"], q["k"])
+        got = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], q["text"]
+        for g, (_, ws) in zip(got, want):
+            assert abs(g["score"] - ws) <= 1e-9
+        keys = [(r["repo"], r["path"]) for r in got]
+        assert keys == sorted(keys)
+        n_nonempty += bool(got)
+    assert n_nonempty >= 4
