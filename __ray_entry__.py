@@ -917,6 +917,14 @@ def _q_corpus_mixture(sf_dir: str):
     return textstats.corpus_mixture(sf_dir)
 
 
+def _q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch-1 shuffle head (engine.prep.epoch_shuffle):
+    distributed sort by per-epoch content-key hash."""
+    from engine.prep import epoch_shuffle
+
+    return epoch_shuffle(sf_dir, epoch=1, k=100)
+
+
 def _q_split_corpus(sf_dir: str):
     """Deterministic 90/5/5 train/val/test assignment by content-key
     hash (engine.prep.split_corpus) — stable under corpus growth."""
@@ -1190,6 +1198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_corpus": _q_split_corpus,
         "corpus_mixture": _q_corpus_mixture,
         "bigram_pmi": _q_bigram_pmi,
+        "epoch_shuffle": _q_epoch_shuffle,
         "partitioned_write": _q_partitioned_write,
         "quantiles_lineitem": _q_quantiles,
         "broadcast_join_suppliers": _q_broadcast_join,
@@ -2417,6 +2426,25 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
        CAST(round(n_docs * 1.0 / t.td, 6) AS DOUBLE) AS doc_share_r,
        CAST(round(n_tokens * 1.0 / t.tt, 6) AS DOUBLE) AS token_share_r
 FROM per CROSS JOIN tot t
+""",
+        "epoch_shuffle": """
+WITH h AS (
+  SELECT doc_id,
+    CAST(CAST(list_reduce(
+      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        list_transform(range(1, length('1:' || CAST(doc_id AS VARCHAR))+1),
+          i -> CAST(unicode(('1:' || CAST(doc_id AS VARCHAR))[i]) AS HUGEINT))),
+      (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616
+    ) AS UBIGINT) >> 1 AS BIGINT) AS shuffle_key
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, shuffle_key,
+         row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos
+  FROM h
+)
+SELECT CAST(pos AS BIGINT) AS pos, doc_id, shuffle_key
+FROM ranked WHERE pos <= 100
 """,
         "split_corpus": """
 WITH h AS (

@@ -197,3 +197,50 @@ def split_corpus(
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(assign, batch_format="pyarrow")
+
+
+def epoch_shuffle(sf_dir: str, epoch: int = 0, k: int = 100) -> "ray.data.Dataset":
+    """Deterministic training-epoch shuffle: the global doc order for
+    epoch E is ``sort by fnv1a64(f"{E}:{doc_id}")`` — a reproducible,
+    epoch-distinct permutation (the property data loaders need:
+    restarting a run mid-epoch reproduces the exact stream, and no two
+    epochs repeat an order).  The distributed range-partitioned sort IS
+    the shuffle; ``limit(k)`` bounds the driver-checkable head (a real
+    run consumes the sorted stream or writes it partitioned).
+
+    Output: (pos, doc_id, shuffle_key) for the first ``k`` docs.
+    """
+    from .functions import fnv1a64_arr
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h = fnv1a64_arr([f"{epoch}:{i}" for i in ids])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                # int64-safe: drop the top bit (order-preserving enough
+                # for a shuffle key, and DuckDB BIGINT-replicable)
+                "shuffle_key": pa.array(
+                    (h >> np.uint64(1)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    head = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(key, batch_format="pyarrow")
+        .sort(["shuffle_key", "doc_id"])
+        .limit(k)
+        .take_all()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pos": pa.array(range(1, len(head) + 1), pa.int64()),
+                "doc_id": pa.array([r["doc_id"] for r in head], pa.int64()),
+                "shuffle_key": pa.array(
+                    [r["shuffle_key"] for r in head], pa.int64()
+                ),
+            }
+        )
+    )

@@ -110,3 +110,17 @@ def test_split_corpus_deterministic(ray_session):
 
     with _pytest.raises(ValueError):
         split_corpus(sf, bounds={"a": 5000, "b": 4000})
+
+
+def test_epoch_shuffle_properties(ray_session):
+    from engine.prep import epoch_shuffle
+
+    sf = "/root/testdata/sf0.01"
+    e1 = epoch_shuffle(sf, epoch=1, k=50).take_all()
+    e1b = epoch_shuffle(sf, epoch=1, k=50).take_all()
+    e2 = epoch_shuffle(sf, epoch=2, k=50).take_all()
+    assert e1 == e1b  # reproducible
+    assert [r["doc_id"] for r in e1] != [r["doc_id"] for r in e2]  # epoch-distinct
+    assert [r["pos"] for r in e1] == list(range(1, 51))
+    keys = [r["shuffle_key"] for r in e1]
+    assert keys == sorted(keys)
