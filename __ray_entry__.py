@@ -390,6 +390,57 @@ def _q_tfidf_topk_nostem(sf_dir: str):
     )
 
 
+def _q_bm25_federated(sf_dir: str):
+    """Federated search over TWO independently-built half-corpus
+    indexes (engine.query.run_queries_federated): combined stats make
+    scores globally comparable, so results are rank-and-score
+    identical to one full-corpus index — the oracle is the standard
+    full-corpus BM25 CTE."""
+    import pyarrow.compute as _pc
+
+    from engine.build import build_index
+    from engine.corpus import read_corpus_from_documents
+    from engine.query import run_queries_federated
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    dirs = []
+    corpus = read_corpus_from_documents(sf_dir)
+    for parity in (0, 1):
+        out = os.path.join(
+            tempfile.gettempdir(), f"graft_idx_fed{parity}_v1_{tag}"
+        )
+        dirs.append(out)
+        if os.path.exists(os.path.join(out, "collection_stats.json")):
+            continue
+        shutil.rmtree(out, ignore_errors=True)
+
+        def _keep(batch: pa.Table, want=parity) -> pa.Table:
+            ids = pa.array(
+                [_source_doc_id(p) % 2 for p in batch.column("path").to_pylist()]
+            )
+            return batch.filter(_pc.equal(ids, want))
+
+        build_index(
+            corpus.map_batches(_keep, batch_format="pyarrow"),
+            out, num_parts=4 if parity else 6, analyzer="simple",
+            analyzer_concurrency=(1, 4), source=f"{sf_dir}#p{parity}",
+        )
+    t = run_queries_federated(dirs, _BM25_QUERIES, concurrency=(1, 4))
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_bm25_lang_nostem(sf_dir: str):
     """Metadata-filtered BM25 (docs restricted to lang='en'; stats and
     idf stay collection-wide — Lucene filter-query semantics).  The
@@ -1146,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_delete_nostem": _q_bm25_delete_nostem,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_lang_nostem": _q_bm25_lang_nostem,
+        "bm25_federated": _q_bm25_federated,
         "tfidf_topk_nostem": _q_tfidf_topk_nostem,
         "bm25_collapse_nostem": _q_bm25_collapse_nostem,
         "hybrid_search": _q_hybrid_search,
@@ -2117,6 +2169,7 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
         "bm25_delete_nostem": _bm25_sql(exclude_ids=_DELETE_SRC_IDS),
         "bm25_incremental": _bm25_sql(),
         "bm25_lang_nostem": _bm25_sql(lang="en"),
+        "bm25_federated": _bm25_sql(),
         "tfidf_topk_nostem": _tfidf_sql(),
         "bm25_collapse_nostem": _bm25_collapse_sql(),
         "hybrid_search": _hybrid_sql(),

@@ -131,7 +131,8 @@ class IndexReader:
       open-segment cap.
     """
 
-    def __init__(self, index_dir: str, max_open_segments: int = 64):
+    def __init__(self, index_dir: str, max_open_segments: int = 64,
+                 stats_override: dict | None = None):
         self.index_dir = index_dir
         self.stats = read_collection_stats(index_dir)
         manifest = read_build_manifest(index_dir)
@@ -139,6 +140,16 @@ class IndexReader:
         from .checkpoint import generations
 
         self.generations = generations(manifest)
+        # federation (run_queries_federated): score THIS index with the
+        # COMBINED collection's stats — num_docs / avg_doc_len plus a
+        # df map for the query terms — so scores are comparable (and
+        # exactly equal) to a merged-index run
+        self._df_override: dict[str, int] | None = None
+        if stats_override is not None:
+            self.stats = dict(self.stats)
+            self.stats["num_docs"] = stats_override["num_docs"]
+            self.stats["avg_doc_len"] = stats_override["avg_doc_len"]
+            self._df_override = dict(stats_override["df"])
         self.analyzer = analysis.get_analyzer(self.analyzer_name)
         self.num_docs = int(self.stats["num_docs"])
         self.avg_doc_len = float(self.stats["avg_doc_len"]) or 1.0
@@ -182,12 +193,20 @@ class IndexReader:
         seg._dec_cache_max = self._seg_cache_max
         return seg
 
+    def _df(self, term: str, default: int = 0) -> int:
+        """Global df — from the federation override when present
+        (authoritative: federated scoring must use COMBINED df), else
+        this index's sharded table."""
+        if self._df_override is not None:
+            return self._df_override.get(term, default)
+        return self.global_df.get(term, default)
+
     def qterms(self, text: str) -> list[tuple[str, float]]:
         """[(term, idf)] in analyzed order; out-of-vocabulary terms
         dropped (df=0 -> no postings anywhere)."""
         out = []
         for t in analyze_query(self.analyzer, text):
-            df = self.global_df.get(t, 0)
+            df = self._df(t, 0)
             if df > 0:
                 out.append((t, bm25.idf(df, self.num_docs)))
         return out
@@ -197,7 +216,7 @@ class IndexReader:
         conjunctive/phrase query can match nothing -> None."""
         out = []
         for t in analyze_query(self.analyzer, text):
-            df = self.global_df.get(t, 0)
+            df = self._df(t, 0)
             if df == 0:
                 return None
             out.append((t, bm25.idf(df, self.num_docs)))
@@ -279,6 +298,12 @@ class IndexReader:
         everything already emitted.  idf always comes from the GLOBAL
         df, so every segment scores an expanded term identically.  For
         "regex" the WHOLE query text is one pattern (no plain terms)."""
+        if self._df_override is not None:
+            raise ValueError(
+                "expansion modes (prefix/fuzzy/regex) are not supported "
+                "under federated stats overrides: expanded terms need "
+                "combined df the override map does not carry"
+            )
         if kind == "prefix":
             plain_text, pats = analysis.split_wildcard(text)
             expand = lambda p: self._expand_prefix(seg, p)  # noqa: E731
@@ -325,7 +350,7 @@ class IndexReader:
         first-occurrence order, OOV dropped)."""
         out = []
         for t in analyze_query(self.analyzer, text):
-            df = self.global_df.get(t, 0)
+            df = self._df(t, 0)
             if df > 0:
                 i = bm25.tfidf_idf(df, self.num_docs)
                 out.append((t, i * i))
@@ -425,7 +450,7 @@ class IndexReader:
         if match == "bool":
             must_text, should_text, not_text = analysis.split_bool(text)
             must = analyze_query(self.analyzer, must_text)
-            if any(self.global_df.get(t, 0) == 0 for t in must):
+            if any(self._df(t, 0) == 0 for t in must):
                 return []  # an OOV MUST term can match nothing
             seen: set[str] = set()
             qt = []
@@ -433,7 +458,7 @@ class IndexReader:
                 if t in seen:
                     continue
                 seen.add(t)
-                df = self.global_df.get(t, 0)
+                df = self._df(t, 0)
                 if df > 0:
                     qt.append((t, bm25.idf(df, self.num_docs)))
             if not qt:
@@ -742,8 +767,8 @@ class SegmentScorer:
     def __init__(self, index_dir: str, mode: str = "auto", match: str = "any",
                  filter_lang: str | None = None, scorer: str = "bm25",
                  collapse: str | None = None, slop: int = 2,
-                 sort_by_path: bool = False):
-        self.reader = IndexReader(index_dir)
+                 sort_by_path: bool = False, stats_override: dict | None = None):
+        self.reader = IndexReader(index_dir, stats_override=stats_override)
         self.mode = mode
         self.match = match
         self.filter_lang = filter_lang
@@ -894,6 +919,7 @@ def run_queries(
     collapse: str | None = None,
     slop: int = 2,
     sort_by_path: bool = False,
+    stats_override: dict | None = None,
 ) -> "ray.data.Dataset":
     """Distributed query evaluation -> Dataset with RESULTS schema.
 
@@ -940,6 +966,7 @@ def run_queries(
             "index_dir": index_dir, "mode": mode, "match": match,
             "filter_lang": filter_lang, "scorer": scorer, "collapse": collapse,
             "slop": slop, "sort_by_path": sort_by_path,
+            "stats_override": stats_override,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -987,3 +1014,95 @@ def latency_profile(
         "mode": mode,
         "match": match,
     }
+
+
+def federated_stats(index_dirs: list[str], queries) -> dict:
+    """Combined collection stats for federated scoring: summed
+    num_docs / total_doc_len and, for the QUERY TERMS ONLY, summed df
+    across every index (one sharded-table probe per term per index —
+    never a vocabulary merge)."""
+    from .checkpoint import read_build_manifest, read_collection_stats
+
+    analyzers = {read_build_manifest(d)["analyzer"] for d in index_dirs}
+    if len(analyzers) != 1:
+        raise ValueError(f"federated indexes disagree on analyzer: {analyzers}")
+    az = analysis.get_analyzer(analyzers.pop())
+    terms: set[str] = set()
+    for q in queries:
+        for part in (q["text"],):
+            # cover plain + signed/bool syntaxes; expansion modes are
+            # rejected downstream (df map cannot carry expansions)
+            m, s_, n_ = analysis.split_bool(part)
+            for txt in (m, s_, n_):
+                terms.update(analyze_query(az, txt))
+    num_docs = 0
+    total_len = 0
+    df: dict[str, int] = {t: 0 for t in terms}
+    for d in index_dirs:
+        st = read_collection_stats(d)
+        num_docs += int(st["num_docs"])
+        total_len += int(st["total_doc_len"])
+        sh = _ShardedDf(d)
+        for t in terms:
+            df[t] += sh.get(t, 0)
+    return {
+        "num_docs": num_docs,
+        "avg_doc_len": (total_len / num_docs) if num_docs else 0.0,
+        "df": df,
+    }
+
+
+def run_queries_federated(
+    index_dirs: list[str],
+    queries: list[dict],
+    mode: str = "auto",
+    match: str = "any",
+    concurrency=(1, 16),
+    slop: int = 2,
+) -> pa.Table:
+    """Federated search across N independently-built indexes,
+    RANK-AND-SCORE IDENTICAL to searching one merged index: every
+    index is scored with the COMBINED stats (federated_stats), making
+    scores globally comparable, so the global top-k is a pure
+    selection over the per-index top-ks (each index over-reports
+    nothing: a doc in the global top-k is in its own index's top-k).
+    The final merge handles queries x k x n_indexes rows on the
+    driver.  Precondition: disjoint doc keys across indexes (same rule
+    as merge_indexes' D1 collapse — a duplicated key would score in
+    both).
+    """
+    ov = federated_stats(index_dirs, queries)
+    parts: list[dict] = []
+    for d in index_dirs:
+        parts.extend(
+            run_queries(
+                d, queries, mode=mode, match=match, concurrency=concurrency,
+                slop=slop, stats_override=ov,
+            ).take_all()
+        )
+    by_q: dict[int, list[dict]] = {}
+    for r in parts:
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    kmap = {int(q["query_id"]): int(q.get("k", 10)) for q in queries}
+    out = []
+    for qid in sorted(by_q):
+        cand = sorted(by_q[qid], key=lambda r: (-r["score"], r["doc_id"]))
+        for rank, r in enumerate(cand[: kmap.get(qid, 10)], 1):
+            out.append(
+                {
+                    "query_id": qid,
+                    "rank": rank,
+                    "doc_id": int(r["doc_id"]),
+                    "score": float(r["score"]),
+                    "repo": r["repo"],
+                    "path": r["path"],
+                }
+            )
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()),
+             ("doc_id", pa.int64()), ("score", pa.float64()),
+             ("repo", pa.string()), ("path", pa.string())]
+        ),
+    )
