@@ -228,12 +228,25 @@ def wand_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
     return out
 
 
+def _intersect_sorted(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Intersection of two SORTED UNIQUE int arrays via searchsorted
+    membership — O(|small| log |big|), no concat+sort
+    (np.intersect1d re-sorts both); order preserved."""
+    if len(a) > len(b):
+        a, b = b, a
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros(0, a.dtype)
+    j = np.searchsorted(b, a)
+    j[j == len(b)] = len(b) - 1
+    return a[b[j] == a]
+
+
 def conjunctive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
                      avg_doc_len: float) -> list[tuple[int, float]]:
     """Q2: conjunctive (AND) intersection + BM25 top-k over one segment.
 
     Candidate set = intersection of the query terms' posting lists
-    (vectorized ``np.intersect1d`` over sorted ordinal arrays — the
+    (sorted-membership ``_intersect_sorted`` over ordinal arrays — the
     DAAT-with-skips iterator (Q1/TermIterator.advance) covers the same
     semantics; the vectorized form is faster in CPython).  Every query
     term must be present in the segment, else no candidates.  Scoring
@@ -251,7 +264,7 @@ def conjunctive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
         decoded.append((ords, tfs, idf))
     cand = decoded[0][0]
     for ords, _, _ in decoded[1:]:
-        cand = np.intersect1d(cand, ords, assume_unique=True)
+        cand = _intersect_sorted(cand, ords)
         if cand.size == 0:
             return []
     dl = seg.doc_lens[cand]
@@ -284,7 +297,7 @@ def phrase_topk(seg: Segment, seq: list[str], qterms: list[tuple[str, float]],
         decoded[term] = seg.decode_idx_cached(row)
     cand = decoded[distinct[0]][0]
     for term in distinct[1:]:
-        cand = np.intersect1d(cand, decoded[term][0], assume_unique=True)
+        cand = _intersect_sorted(cand, decoded[term][0])
         if cand.size == 0:
             return []
     # positional verification — VECTORIZED across all candidate docs:
@@ -545,7 +558,7 @@ def near_topk(seg: Segment, terms: list[str],
         decoded[term] = seg.decode_idx_cached(row)
     cand = decoded[terms[0]][0]
     for term in terms[1:]:
-        cand = np.intersect1d(cand, decoded[term][0], assume_unique=True)
+        cand = _intersect_sorted(cand, decoded[term][0])
         if cand.size == 0:
             return []
     limit = (len(terms) - 1) + slop
@@ -601,7 +614,7 @@ def bool_topk(seg: Segment, must_terms: list[str],
         decoded[term] = seg.decode_idx_cached(row)
     cand = decoded[must_terms[0]][0]
     for term in must_terms[1:]:
-        cand = np.intersect1d(cand, decoded[term][0], assume_unique=True)
+        cand = _intersect_sorted(cand, decoded[term][0])
         if cand.size == 0:
             return []
     excl = []
