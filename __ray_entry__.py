@@ -943,6 +943,53 @@ def _q_spell_suggest(sf_dir: str):
 _SUGGEST_PREFIXES = ["cu", "s", "th", "zzz", "m"]
 
 
+_CORRECTED_QUERIES = [
+    {"query_id": 0, "text": "custmer ordr data", "k": 10},   # two typos
+    {"query_id": 1, "text": "jion hash", "k": 10},           # transposition
+    {"query_id": 2, "text": "merge window", "k": 10},        # already correct
+    {"query_id": 3, "text": "zzzqqqxxx", "k": 10},           # uncorrectable
+]
+
+
+def _q_bm25_corrected_nostem(sf_dir: str):
+    """Self-healing search: every query term is rewritten to its best
+    in-vocabulary SymSpell correction (engine.spell.spell_suggest —
+    in-vocab terms suggest themselves at distance 0; terms with no
+    correction within distance 2 drop), then BM25 runs on the
+    corrected query.  The oracle replays correction + scoring as one
+    SQL query."""
+    from engine import spell
+    from engine.query import run_queries
+
+    out = _build_simple_index(sf_dir)
+    terms = sorted(
+        {t.lower() for q in _CORRECTED_QUERIES for t in q["text"].split() if t}
+    )
+    best = {
+        r["qterm"]: r["suggestion"]
+        for r in spell.spell_suggest(sf_dir, terms, max_dist=2).take_all()
+    }
+    corrected = []
+    for q in _CORRECTED_QUERIES:
+        toks = [best[t.lower()] for t in q["text"].split() if t.lower() in best]
+        corrected.append(dict(q, text=" ".join(toks)))
+    res = run_queries(out, corrected, mode="wand", concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_suggest_terms(sf_dir: str):
     """Query autocompletion: top-5 vocabulary terms per prefix by
     collection frequency (partial-top-k pass; engine.spell)."""
@@ -1233,6 +1280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": _q_repetition_scores,
         "spell_suggest": _q_spell_suggest,
         "suggest_terms": _q_suggest_terms,
+        "bm25_corrected_nostem": _q_bm25_corrected_nostem,
         "facet_counts": _q_facet_counts,
         "rank_documents": _q_rank_documents,
         "snippets": _q_snippets,
@@ -1514,6 +1562,70 @@ JOIN tf ON tf.term = q.term AND tf.doc_id = t1.doc_id
 JOIN dft ON dft.term = q.term
 JOIN dl ON dl.doc_id = t1.doc_id
 CROSS JOIN stats s
+"""
+
+
+def _corrected_sql() -> str:
+    """Spell-corrected-search oracle: per raw query term the SymSpell
+    winner (min distance, then max cf, then lexicographic — identical
+    to the spell_suggest oracle), then the standard BM25 CTE over the
+    DISTINCT corrected terms."""
+    vals = []
+    for q in _CORRECTED_QUERIES:
+        seen = []
+        for t in q["text"].split(" "):
+            t = t.lower()
+            if t and t not in seen:
+                seen.append(t)
+        for t in seen:
+            vals.append(f"({q['query_id']}, '{t}')")
+    values = ", ".join(vals)
+    return f"""
+WITH tok2 AS ({_TOK2}),
+vocab AS (SELECT term, count(*) AS cf FROM tok2 GROUP BY term),
+qraw(query_id, qterm) AS (VALUES {values}),
+cand AS (
+  SELECT qraw.query_id, qraw.qterm, v.term AS sug,
+         levenshtein(qraw.qterm, v.term) AS d, v.cf
+  FROM qraw CROSS JOIN vocab v
+  WHERE levenshtein(qraw.qterm, v.term) <= 2
+),
+best AS (
+  SELECT query_id, qterm, sug,
+         row_number() OVER (PARTITION BY query_id, qterm
+                            ORDER BY d, cf DESC, sug) AS rn
+  FROM cand
+),
+q AS (SELECT DISTINCT query_id, sug AS term FROM best WHERE rn = 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON q.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(round(score, 4) AS DOUBLE) AS score_r
+FROM ranked WHERE rank <= 10
 """
 
 
@@ -2180,6 +2292,7 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
         "bm25_fuzzy_nostem": _bm25_expand_sql(_FUZZY_QUERIES, "fuzzy"),
         "bm25_regex_nostem": _bm25_expand_sql(_REGEX_QUERIES, "regex"),
         "bm25_bool_nostem": _bool_sql(),
+        "bm25_corrected_nostem": _corrected_sql(),
         "bm25_phrase_nostem": _phrase_sql(),
         "bm25_near_nostem": _near_sql(),
         "export_postings": f"""
