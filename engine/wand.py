@@ -324,10 +324,12 @@ def phrase_topk(seg: Segment, seq: list[str], qterms: list[tuple[str, float]],
     ok = np.ones(anchors.size, dtype=bool)
     for i, t in enumerate(seq[1:], 1):
         cat = cats[t]
+        if len(cat) == 0:  # unreachable post-intersection; stay safe
+            return []
         want = anchors + i
         j = np.searchsorted(cat, want)
-        jc = np.minimum(j, max(len(cat) - 1, 0))
-        ok &= (len(cat) > 0) & (cat[jc] == want)
+        jc = np.minimum(j, len(cat) - 1)
+        ok &= cat[jc] == want
         if not ok.any():
             return []
     ranks = np.unique(anchors[ok] >> 32)
