@@ -204,3 +204,45 @@ def test_resumed_add_bytes_identical(incremental, tmp_path):
     from engine.checkpoint import read_collection_stats
 
     assert read_collection_stats(a) == read_collection_stats(b)
+
+
+def test_many_generations(ray_session, tmp_path):
+    """6 incremental adds: manifest tracks every generation, search
+    equals a refimpl over the accumulated corpus, point lookups stay
+    one-searchsorted-per-generation."""
+    from engine.refimpl import RefIndex
+
+    batches = []
+    all_rows = []
+    base = gen_corpus(40)
+    idx = str(tmp_path / "gens")
+    build_index(_ds(base), idx, num_parts=2, analyzer_concurrency=(1, 2))
+    all_rows += base
+    for g in range(6):
+        rows = []
+        for r in gen_corpus(8, seed=100 + g):
+            r = dict(r)
+            r["repo"] = f"gen{g}/" + r["repo"]
+            rows.append(r)
+        add_documents(idx, _ds(rows), num_parts=1,
+                      analyzer_concurrency=(1, 2))
+        all_rows += rows
+    man = read_build_manifest(idx)
+    gens = generations(man)
+    assert len(gens) == 7
+    assert gens[-1] == (7, 1)
+    rd = IndexReader(idx)
+    assert len(rd.segment_paths) == 8
+    ref = RefIndex(all_rows)
+    assert rd.num_docs == ref.num_docs
+    n = 0
+    for q in gen_queries()[:4]:
+        want = ref.topk(q["text"], q["k"])
+        got = rd.search(q["text"], q["k"])
+        assert [h["doc_id"] for h in got] == [d for d, _ in want], q["text"]
+        n += bool(want)
+    assert n >= 2
+    # a doc from the last generation resolves through all 7 generations
+    seg = rd.segment(7)
+    if seg.num_docs:
+        assert rd.locate(int(seg.doc_ids[0]))[0] == 7
