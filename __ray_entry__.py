@@ -890,6 +890,17 @@ def _q_knn_ivf(sf_dir: str):
     return similarity.knn_ivf(sf_dir, k=5, n_queries=10, nlist=16, nprobe=6)
 
 
+def _q_knn_recall(sf_dir: str):
+    """Oracle surface for the approximate ANN family: DuckDB recomputes
+    the exact top-k cosine sum per query (integer micros) and asserts
+    each family's MACRO recall@k meets its floor (SQL side: constant 1)."""
+    from engine import similarity
+
+    return similarity.knn_recall(
+        sf_dir, k=5, n_queries=10, lsh_floor=0.5, ivf_floor=0.8
+    )
+
+
 def _q_token_counts(sf_dir: str):
     from engine import textanalysis
 
@@ -1232,22 +1243,76 @@ def _q_sessionize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
+    # entries.  Rotation policy (VERDICT r02 task #2): entries that have
+    # never been driver-verified lead, then entries verified only in r1,
+    # then everything touched this round, then a representative slice of
+    # the proven families; the long-green remainder follows.
     return {
-        "doc_lengths": _q_doc_lengths,
-        "term_df": _q_term_df,
-        "term_cf": _q_term_cf,
-        "top_terms": _q_top_terms,
+        # -- never driver-verified (r1 ∪ r2) --
+        "snippets": _q_snippets,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
+        "corpus_prep": _q_corpus_prep,
+        "split_corpus": _q_split_corpus,
+        "corpus_mixture": _q_corpus_mixture,
+        "bigram_pmi": _q_bigram_pmi,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "partitioned_write": _q_partitioned_write,
+        "asof_join_events": _q_asof_join_events,
+        "range_join_orders": _q_range_join_orders,
+        "distinct_users_per_event_type": _q_distinct_users_per_event_type,
+        "customers_without_orders": _q_customers_without_orders,
+        "json_field_stats": _q_json_field_stats,
+        "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
+        # -- verified in r1 only --
+        "quality_scores": _q_quality_scores,
+        "language_id": _q_language_id,
+        "fingerprint_md5": _q_fingerprint_md5,
+        "media_decode": _q_media_decode,
+        "more_like_this": _q_more_like_this,
+        "hll_distinct_terms": _q_hll_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "bottomk_sample": _q_bottomk_sample,
+        "quantiles_lineitem": _q_quantiles,
+        "broadcast_join_suppliers": _q_broadcast_join,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "simhash_dup_pairs": _q_simhash_pairs,
+        "window_tumbling": _q_window_tumbling,
+        "window_sliding": _q_window_sliding,
+        "sessionize": _q_sessionize,
+        # -- new / touched this round --
+        "knn_recall": _q_knn_recall,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "top_ngrams": _q_top_ngrams,
+        "lm_doc_scores": _q_lm_doc_scores,
+        "dedup_clusters": _q_dedup_clusters,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
+        "hybrid_search": _q_hybrid_search,
+        # -- representative proven slice (keeps the core families in
+        #    every round's window) --
         "collection_stats": _q_collection_stats,
         "bm25_topk_nostem": _q_bm25_topk_nostem,
-        "bm25_delete_nostem": _q_bm25_delete_nostem,
         "bm25_incremental": _q_bm25_incremental,
-        "bm25_lang_nostem": _q_bm25_lang_nostem,
         "bm25_federated": _q_bm25_federated,
+        "export_postings": _q_export_postings,
+        "verify_invariant": _q_verify_invariant,
+        "term_df": _q_term_df,
+        # ---- driver window (50) ends around here ----
+        "spell_suggest": _q_spell_suggest,
+        "doc_lengths": _q_doc_lengths,
+        "term_cf": _q_term_cf,
+        "top_terms": _q_top_terms,
+        "top_ngrams": _q_top_ngrams,
+        "bm25_delete_nostem": _q_bm25_delete_nostem,
+        "bm25_lang_nostem": _q_bm25_lang_nostem,
         "tfidf_topk_nostem": _q_tfidf_topk_nostem,
         "bm25_collapse_nostem": _q_bm25_collapse_nostem,
-        "hybrid_search": _q_hybrid_search,
         "explain_scores": _q_explain_scores,
         "bm25_and_nostem": _q_bm25_and_nostem,
         "bm25_not_nostem": _q_bm25_not_nostem,
@@ -1257,63 +1322,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_bool_nostem": _q_bm25_bool_nostem,
         "bm25_phrase_nostem": _q_bm25_phrase_nostem,
         "bm25_near_nostem": _q_bm25_near_nostem,
-        "export_postings": _q_export_postings,
         "bm25_sortpath_nostem": _q_bm25_sortpath_nostem,
-        "verify_invariant": _q_verify_invariant,
         "groupby_lineitem": _q_groupby_lineitem,
         "topk_orders": _q_topk_orders,
         "join_customer_orders": _q_join_customer_orders,
         "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dedup_keep": _q_embedding_dedup_keep,
-        "knn_bruteforce": _q_knn_bruteforce,
-        "knn_lsh": _q_knn_lsh,
-        "knn_ivf": _q_knn_ivf,
-        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "label_centroids": _q_label_centroids,
         "token_counts": _q_token_counts,
-        "lm_doc_scores": _q_lm_doc_scores,
         "repetition_scores": _q_repetition_scores,
-        "spell_suggest": _q_spell_suggest,
         "suggest_terms": _q_suggest_terms,
         "bm25_corrected_nostem": _q_bm25_corrected_nostem,
         "facet_counts": _q_facet_counts,
         "rank_documents": _q_rank_documents,
-        "snippets": _q_snippets,
-        "quality_scores": _q_quality_scores,
-        "language_id": _q_language_id,
-        "fingerprint_md5": _q_fingerprint_md5,
-        "media_decode": _q_media_decode,
-        "more_like_this": _q_more_like_this,
-        "hll_distinct_terms": _q_hll_distinct,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "bottomk_sample": _q_bottomk_sample,
-        "stratified_sample": _q_stratified_sample,
-        "decontaminate": _q_decontaminate,
-        "corpus_prep": _q_corpus_prep,
-        "split_corpus": _q_split_corpus,
-        "corpus_mixture": _q_corpus_mixture,
-        "bigram_pmi": _q_bigram_pmi,
-        "epoch_shuffle": _q_epoch_shuffle,
-        "partitioned_write": _q_partitioned_write,
-        "quantiles_lineitem": _q_quantiles,
-        "broadcast_join_suppliers": _q_broadcast_join,
-        "top_orders_per_customer": _q_top_orders_per_customer,
-        "asof_join_events": _q_asof_join_events,
-        "range_join_orders": _q_range_join_orders,
-        "distinct_users_per_event_type": _q_distinct_users_per_event_type,
-        "customers_without_orders": _q_customers_without_orders,
-        "json_field_stats": _q_json_field_stats,
-        "chunk_documents": _q_chunk_documents,
-        "pack_sequences": _q_pack_sequences,
-        "simhash_dup_pairs": _q_simhash_pairs,
-        "window_tumbling": _q_window_tumbling,
-        "window_sliding": _q_window_sliding,
-        "sessionize": _q_sessionize,
     }
 
 
@@ -2460,6 +2483,30 @@ r AS (
 )
 SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, CAST(c AS DOUBLE) AS cosine_r
 FROM r WHERE rk <= 5
+""",
+        # exact side recomputed in SQL (integer-micros sum is
+        # order-independent); the recall-floor booleans are the oracle's
+        # CLAIM (constant 1) — an approx-recall regression or an exact
+        # scoring bug both hash-mismatch
+        "knn_recall": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS c
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+  FROM s
+)
+SELECT query_id,
+       CAST(sum(CAST(round(c * 1000000) AS BIGINT)) AS BIGINT) AS exact_sum_micros,
+       CAST(1 AS BIGINT) AS lsh_ok,
+       CAST(1 AS BIGINT) AS ivf_ok
+FROM r WHERE rk <= 5
+GROUP BY query_id
 """,
         "token_counts": r"""
 SELECT doc_id,

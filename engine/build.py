@@ -44,7 +44,7 @@ import ray.data
 from . import checkpoint
 from .ids import assign_ids
 from .postings import AnalyzeWriteRuns, load_run_parts
-from .segments import build_segment, list_segments
+from .segments import GT_NUM_SHARDS, build_segment, list_segments
 
 def _split_evenly(seq, n_chunks: int):
     """Split seq into n_chunks near-equal contiguous chunks."""
@@ -364,9 +364,20 @@ def merge_indexes(
 
 def finalize_stats(out_dir: str) -> dict:
     """Global aggregates (G2-G4): collection stats from segment
-    manifests (driver-side rollup of P small JSONs) + global per-term
-    df/cf via a combiner-style Ray Data groupby over the per-segment
-    dictionary PARTIALS (≤ |vocab| rows each, never postings)."""
+    manifests (driver-side rollup of P small JSONs).
+
+    Global per-term df/cf needs NO finalize work at all: each merge
+    task already wrote its segment's term-hash-sharded gt.parquet
+    partial next to the segment (engine.segments._write_gt_partial),
+    and the read side sums a shard's partials lazily
+    (engine.query._ShardedDf) — so the one remaining global quantity,
+    vocabulary size (distinct terms across segments), is a MAP-ONLY
+    Ray job over the disjoint hash shards (no all-to-all: every Ray
+    Data shuffle costs seconds of fixed overhead even on
+    vocabulary-sized data, which is why the previous
+    read_parquet→groupby finalize was the round-2 build regression)."""
+    import json
+
     manifests = checkpoint.read_segment_manifests(out_dir)
     num_docs = sum(m["num_docs"] for m in manifests)
     total_doc_len = sum(m["total_doc_len"] for m in manifests)
@@ -375,28 +386,15 @@ def finalize_stats(out_dir: str) -> dict:
         (m["min_doc_len"] for m in manifests if m["num_docs"]), default=0
     )
 
-    dict_files = [
-        os.path.join(s, "dict.parquet")
-        for s in list_segments(out_dir)
-        if _nonempty_dict(s)
-    ]
+    seg_paths = [s for s in list_segments(out_dir)]
     gt_dir = os.path.join(out_dir, "global_terms")
-    vocab_size = 0
-    if dict_files:
-        gt = (
-            ray.data.read_parquet(dict_files, columns=["term", "df", "cf"])
-            .groupby("term")
-            .sum(["df", "cf"])
-            .map_batches(
-                lambda b: b.rename_columns(["term", "df", "cf"]),
-                batch_format="pyarrow",
-            )
-        )
-        if os.path.isdir(gt_dir):
-            shutil.rmtree(gt_dir)
-        vocab_size = _write_global_terms_sharded(gt, out_dir, gt_dir)
-    else:
-        os.makedirs(gt_dir, exist_ok=True)
+    if os.path.isdir(gt_dir):
+        shutil.rmtree(gt_dir)
+    os.makedirs(gt_dir, exist_ok=True)
+    vocab_size = _aggregate_global_terms(seg_paths, gt_dir) if seg_paths else 0
+    meta = {"num_shards": GT_NUM_SHARDS, "hash": "fnv1a64"}
+    with open(os.path.join(out_dir, "global_terms_meta.json"), "w") as f:
+        json.dump(meta, f)
 
     stats = {
         "num_docs": num_docs,
@@ -411,65 +409,86 @@ def finalize_stats(out_dir: str) -> dict:
     return dict(stats)
 
 
-GT_NUM_SHARDS = 16  # term-hash shards of the global df/cf table
+def _aggregate_global_terms(seg_paths: list[str], gt_dir: str) -> int:
+    """Sum the per-segment gt.parquet partials into ONE aggregated
+    ``global_terms/shard-NNNN.parquet`` per term-hash shard, returning
+    the vocabulary size (shards are term-disjoint, so vocab = Σ of
+    per-shard distinct counts).
+
+    This is a MAP-ONLY Ray job — one task per shard, each reading only
+    its own row group of every segment's gt.parquet (peak memory per
+    task = one shard's vocabulary, ~vocab/num_shards).  No all-to-all:
+    the hash partitioning was fixed at segment-write time, so the
+    "shuffle" already happened for free inside the merge tasks.  Query
+    actors then load one small file per touched shard
+    (engine.query._ShardedDf).  Writes are tmp+rename with
+    deterministic bytes, so task retries are benign."""
+    from .segments import read_gt_shard
+
+    def agg_shard(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        outs = []
+        for s in batch.column("item").to_pylist():
+            parts = [
+                t for p in seg_paths if (t := read_gt_shard(p, int(s))) is not None
+            ]
+            if parts:
+                tbl = (
+                    pa.concat_tables(parts)
+                    .group_by("term")
+                    .aggregate([("df", "sum"), ("cf", "sum")])
+                    .rename_columns(["term", "df", "cf"])
+                    .sort_by("term")
+                )
+            else:
+                tbl = pa.table(
+                    {"term": pa.array([], pa.string()),
+                     "df": pa.array([], pa.int64()),
+                     "cf": pa.array([], pa.int64())}
+                )
+            final = os.path.join(gt_dir, f"shard-{int(s):04d}.parquet")
+            tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+            _pq.write_table(tbl, tmp)
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                os.unlink(tmp)
+            outs.append(tbl.num_rows)
+        return pa.table({"n": pa.array(outs, pa.int64())})
+
+    rows = (
+        ray.data.from_items(list(range(GT_NUM_SHARDS)))
+        .map_batches(agg_shard, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+    return int(sum(r["n"] for r in rows))
 
 
-def _write_global_terms_sharded(
-    gt: "ray.data.Dataset", out_dir: str, gt_dir: str, num_shards: int = GT_NUM_SHARDS
-) -> int:
-    """Write global_terms PARTITIONED BY fnv1a64(term) % num_shards —
-    files named ``shard-NNNN-<digest>.parquet``; each output block of
-    the term aggregate splits its rows by shard and appends one
-    content-addressed file per shard touched, so no SECOND all-to-all
-    runs (a groupby("shard") exchange cost seconds of fixed shuffle
-    overhead on vocabulary-sized data).  A shard is the UNION of its
-    files; terms are disjoint across blocks (post-groupby), digests
-    make retries idempotent.  Query actors load only the shards their
-    query stream touches (engine.query._ShardedDf).  Returns vocab
-    size."""
-    import hashlib
-    import json
-
+def read_global_terms(out_dir: str) -> pa.Table:
+    """The aggregated (term, df, cf) table, driver-side — TEST/AUDIT
+    helper only (it materializes the whole vocabulary; production paths
+    go through the sharded lazy loader in engine.query)."""
     import pyarrow.parquet as pq
 
-    from .functions import fnv1a64_arr
-
-    os.makedirs(gt_dir, exist_ok=True)
-
-    def write_shard_files(batch: pa.Table) -> pa.Table:
-        h = fnv1a64_arr(batch.column("term").to_pylist())
-        shards = (h % np.uint64(num_shards)).astype(np.int64)
-        out_s, out_n = [], []
-        for s in np.unique(shards):
-            tbl = batch.filter(pa.array(shards == s)).sort_by("term")
-            digest = hashlib.sha256(
-                "\0".join(tbl.column("term").to_pylist()).encode()
-            ).hexdigest()[:16]
-            final = os.path.join(gt_dir, f"shard-{int(s):04d}-{digest}.parquet")
-            if not os.path.exists(final):  # idempotent under retry
-                tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
-                pq.write_table(tbl, tmp)
-                try:
-                    os.rename(tmp, final)
-                except OSError:
-                    os.unlink(tmp)
-            out_s.append(int(s))
-            out_n.append(tbl.num_rows)
+    parts = []
+    for s in list_segments(out_dir):
+        fp = os.path.join(s, "gt.parquet")
+        if os.path.exists(fp):
+            parts.append(pq.read_table(fp, columns=["term", "df", "cf"]))
+    if not parts:
         return pa.table(
-            {"shard": pa.array(out_s, pa.int32()), "rows": pa.array(out_n, pa.int64())}
+            {"term": pa.array([], pa.string()),
+             "df": pa.array([], pa.int64()),
+             "cf": pa.array([], pa.int64())}
         )
-
-    written = gt.map_batches(write_shard_files, batch_format="pyarrow").take_all()
-    meta = {"num_shards": num_shards, "hash": "fnv1a64"}
-    with open(os.path.join(out_dir, "global_terms_meta.json"), "w") as f:
-        json.dump(meta, f)
-    return int(sum(r["rows"] for r in written))
-
-
-def _nonempty_dict(seg_path: str) -> bool:
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(os.path.join(seg_path, "dict.parquet")).metadata.num_rows > 0
+    t = pa.concat_tables(parts)
+    return (
+        t.group_by("term")
+        .aggregate([("df", "sum"), ("cf", "sum")])
+        .rename_columns(["term", "df", "cf"])
+        .sort_by("term")
+    )
 
 
 def read_doc_stats(out_dir: str) -> "ray.data.Dataset":

@@ -65,12 +65,14 @@ def analyze_query(analyzer: analysis.Analyzer, text: str) -> list[str]:
 class _ShardedDf:
     """Global term -> df map, loaded ONE HASH SHARD at a time.
 
-    The build writes ``global_terms/shard-NNNN.parquet`` partitioned by
-    fnv1a64(term) % num_shards (manifest: global_terms_meta.json), so
-    an actor's resident vocabulary is bounded by the shards its query
-    stream actually touches — not the whole vocabulary.  Legacy indexes
-    without the manifest fall back to a single lazily-loaded shard
-    holding every file.
+    Finalize aggregates the per-segment gt.parquet dictionary partials
+    into ``global_terms/shard-NNNN.parquet`` partitioned by
+    fnv1a64(term) % num_shards (one map task per shard, no all-to-all —
+    engine.build._aggregate_global_terms), so an actor's resident
+    vocabulary is bounded by the shards its query stream actually
+    touches — not the whole vocabulary, and a shard load reads ONE
+    small file.  Legacy indexes without the manifest fall back to a
+    single lazily-loaded shard holding every file.
     """
 
     def __init__(self, index_dir: str):
@@ -94,11 +96,12 @@ class _ShardedDf:
             files = sorted(
                 f for f in os.listdir(self._gt_dir) if f.endswith(".parquet")
             )
-        else:  # a shard is the union of its shard-NNNN-* files
-            prefix = f"shard-{shard:04d}-"
+        else:  # a shard is the union of its shard-NNNN* files
+            prefix = f"shard-{shard:04d}"
             files = sorted(
                 f for f in os.listdir(self._gt_dir)
                 if f.startswith(prefix) and f.endswith(".parquet")
+                and not ".tmp-" in f
             )
         for f in files:
             t = pq.read_table(os.path.join(self._gt_dir, f), columns=["term", "df"])

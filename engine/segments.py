@@ -61,6 +61,10 @@ from .schema import POSTINGS_BLOCK
 
 SEG_PREFIX = "seg-"
 
+# term-hash shards of the global df/cf table (per-segment gt.parquet
+# partials; see _write_gt_partial / engine.query._ShardedDf)
+GT_NUM_SHARDS = 16
+
 
 def _arr(table: pa.Table, name: str) -> pa.Array:
     """Column as a single contiguous pa.Array (not ChunkedArray)."""
@@ -278,6 +282,7 @@ def build_segment(group: pa.Table, out_dir: str, part: int, analyzer: str) -> di
         f.write(tf_bytes)
         f.write(pos_bytes)
     pq.write_table(dict_table, os.path.join(tmp, "dict.parquet"))
+    _write_gt_partial(dict_table, os.path.join(tmp, "gt.parquet"))
     pq.write_table(blockmax_table, os.path.join(tmp, "blockmax.parquet"))
     pq.write_table(docs_table, os.path.join(tmp, "docs.parquet"))
     # small row groups: a doc_id point lookup decodes one row group via
@@ -314,6 +319,59 @@ def build_segment(group: pa.Table, out_dir: str, part: int, analyzer: str) -> di
         else:
             raise
     return manifest
+
+
+def _write_gt_partial(dict_table: pa.Table, path: str) -> None:
+    """Write this segment's (shard, term, df, cf) global-terms PARTIAL,
+    one parquet ROW GROUP per term-hash shard (shard column stats locate
+    a shard's row group without reading the rest).
+
+    This is how global df/cf is maintained WITHOUT any build-time
+    all-to-all: the merge task that just inverted the segment already
+    holds its dictionary, so the per-shard slices are written here (one
+    extra small parquet, atomic with the segment) and the read side
+    (engine.query._ShardedDf) SUMS the per-segment partials of a shard
+    lazily — resident vocabulary stays shard-bounded, and finalize
+    (engine.build.finalize_stats) needs no groupby over dictionaries.
+    """
+    from .functions import fnv1a64_arr
+
+    terms = dict_table.column("term").to_pylist()
+    sub = pa.table(
+        {
+            "shard": pa.array(
+                (fnv1a64_arr(terms) % np.uint64(GT_NUM_SHARDS)).astype(np.int32),
+                pa.int32(),
+            ),
+            "term": dict_table.column("term"),
+            "df": dict_table.column("df"),
+            "cf": dict_table.column("cf"),
+        }
+    )
+    # dict rows are term-sorted; a stable sort by shard keeps terms
+    # sorted within each shard -> deterministic bytes
+    sub = sub.sort_by("shard")
+    shards = sub.column("shard").to_numpy()
+    bounds = np.nonzero(np.diff(shards, prepend=-1))[0] if len(shards) else []
+    with pq.ParquetWriter(path, sub.schema) as w:
+        for i, lo in enumerate(bounds):
+            hi = bounds[i + 1] if i + 1 < len(bounds) else len(shards)
+            w.write_table(sub.slice(lo, hi - lo))
+
+
+def read_gt_shard(seg_path: str, shard: int) -> pa.Table | None:
+    """One shard's (term, df, cf) rows from a segment's gt.parquet,
+    reading only that shard's row group (located via column stats)."""
+    fp = os.path.join(seg_path, "gt.parquet")
+    if not os.path.exists(fp):
+        return None
+    pf = pq.ParquetFile(fp)
+    md = pf.metadata
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(0).statistics
+        if st is not None and st.min == shard and st.max == shard:
+            return pf.read_row_group(rg, columns=["term", "df", "cf"])
+    return None
 
 
 # ---------------------------------------------------------------------------

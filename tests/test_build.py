@@ -55,9 +55,12 @@ def test_global_stats_equal_oracle(built_index):
     assert stats["num_docs"] == ref.num_docs
     assert stats["total_doc_len"] == ref.total_doc_len
     assert abs(stats["avg_doc_len"] - ref.avg_doc_len) < 1e-12
-    gt = pq.read_table(os.path.join(built_index["out"], "global_terms"))
+    from engine.build import read_global_terms
+
+    gt = read_global_terms(built_index["out"])
     df = dict(zip(gt.column("term").to_pylist(), gt.column("df").to_pylist()))
     assert len(df) == len(ref.postings)
+    assert stats["vocab_size"] == len(ref.postings)
     for term, plist in ref.postings.items():
         assert df[term] == len(plist), term
 

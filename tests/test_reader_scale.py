@@ -10,13 +10,25 @@ from engine.query import IndexReader
 
 
 def test_global_terms_sharded_layout(built_index):
+    """Per-segment layout: every segment carries a gt.parquet partial
+    with one row group per term-hash shard; no build-time aggregation
+    directory exists."""
+    import pyarrow.parquet as pq
+
+    from engine.segments import list_segments
+
     out = built_index["out"]
     assert os.path.exists(os.path.join(out, "global_terms_meta.json"))
-    shards = [
-        f for f in os.listdir(os.path.join(out, "global_terms"))
-        if f.startswith("shard-") and f.endswith(".parquet")
-    ]
-    assert len(shards) >= 2  # vocabulary actually spread across shards
+    shards_seen = set()
+    for seg in list_segments(out):
+        fp = os.path.join(seg, "gt.parquet")
+        assert os.path.exists(fp)
+        md = pq.ParquetFile(fp).metadata
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            assert st.min == st.max  # one shard per row group
+            shards_seen.add(st.min)
+    assert len(shards_seen) >= 2  # vocabulary actually spread across shards
 
 
 def test_df_shards_load_lazily(built_index):
@@ -28,10 +40,10 @@ def test_df_shards_load_lazily(built_index):
 
 
 def test_df_shard_values_match_full_table(built_index):
-    import pyarrow.parquet as pq
+    from engine.build import read_global_terms
 
     rd = IndexReader(built_index["out"])
-    t = pq.read_table(os.path.join(built_index["out"], "global_terms"))
+    t = read_global_terms(built_index["out"])
     full = dict(zip(t.column("term").to_pylist(), t.column("df").to_pylist()))
     for term in list(full)[::7]:
         assert rd.global_df.get(term) == full[term]

@@ -188,3 +188,40 @@ def test_rrf_fuse_semantics():
     assert [r["doc_id"] for r in t2] == [3, 5]
     # k cuts
     assert len(rrf_fuse([lex, vec], k=1).to_pylist()) == 2  # one per query
+
+
+def test_load_queries_streaming_identical(ray_session, sf_dir):
+    """The streaming bottom-k query selection must pick exactly the
+    n lowest vec_ids with their (normalized) embeddings — identical to
+    a driver-side full sort (VERDICT r02 task #7)."""
+    import pyarrow.parquet as pq
+
+    ids, mat = similarity._load_queries(sf_dir, 7)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = t.column("vec_id").to_numpy()
+    order = np.argsort(all_ids)[:7]
+    want = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )[order]
+    norms = np.linalg.norm(want, axis=1)
+    norms[norms == 0] = 1.0
+    want = want / norms[:, None]
+    assert ids.tolist() == sorted(all_ids.tolist())[:7]
+    np.testing.assert_array_equal(mat, want)
+
+
+def test_knn_recall_entry(ray_session, sf_dir):
+    """knn_recall: exact sums match a numpy recomputation; macro-recall
+    booleans are constant per column and hold at the driver floors."""
+    t = similarity.knn_recall(sf_dir, k=5, n_queries=10).to_pylist()
+    assert len(t) == 10
+    oracle = _numpy_topk(sf_dir, 5, 10)
+    for r in t:
+        want = sum(
+            int(np.floor(abs(c) * 1e6 + 0.5)) * (1 if c >= 0 else -1)
+            for _, c in oracle[r["query_id"]]
+        )
+        assert r["exact_sum_micros"] == want
+    assert len({r["lsh_ok"] for r in t}) == 1
+    assert len({r["ivf_ok"] for r in t}) == 1
+    assert t[0]["lsh_ok"] == 1 and t[0]["ivf_ok"] == 1
