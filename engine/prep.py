@@ -41,7 +41,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .dedup import decontaminate, ngram_jaccard_pairs
+from .dedup import decontaminate, minhash_lsh_pairs, ngram_jaccard_pairs
 from .textstats import _split_lower
 
 
@@ -107,8 +107,14 @@ def corpus_prep(
     eval_mod: int = 50,
     min_overlap: int = 3,
     jaccard_threshold: float = 0.5,
+    pair_source: str = "lsh",
 ) -> "ray.data.Dataset":
-    """Run the full curation chain; returns surviving (doc_id, lang)."""
+    """Run the full curation chain; returns surviving (doc_id, lang).
+
+    Near-dup pairs come from minhash_lsh_pairs by default (bounded
+    under hot shingles; identical to the exact operator at oracle
+    scale — see engine.dedup.dedup_clusters); ``pair_source="exact"``
+    keeps the uncapped operator for oracle-scale replays."""
     thr = quality_threshold_micro(sf_dir, q)
 
     contaminated = np.array(
@@ -121,15 +127,14 @@ def corpus_prep(
         ),
         dtype=np.int64,
     )
+    if pair_source == "lsh":
+        pair_ds = minhash_lsh_pairs(sf_dir, n=n, threshold=jaccard_threshold)
+    elif pair_source == "exact":
+        pair_ds = ngram_jaccard_pairs(sf_dir, n=n, threshold=jaccard_threshold)
+    else:
+        raise ValueError(f"unknown pair_source: {pair_source!r}")
     dup_b = np.array(
-        sorted(
-            {
-                r["b"]
-                for r in ngram_jaccard_pairs(
-                    sf_dir, n=n, threshold=jaccard_threshold
-                ).take_all()
-            }
-        ),
+        sorted({r["b"] for r in pair_ds.take_all()}),
         dtype=np.int64,
     )
     ref = ray.put((thr, contaminated, dup_b))
