@@ -31,8 +31,6 @@ No ray.init / ray.shutdown here (driver contract).
 
 from __future__ import annotations
 
-import os
-import shutil
 import time
 
 import numpy as np
@@ -41,10 +39,10 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from . import checkpoint
+from . import checkpoint, fsio
 from .ids import assign_ids
 from .postings import AnalyzeWriteRuns, load_run_parts
-from .segments import GT_NUM_SHARDS, build_segment, list_segments
+from .segments import GT_NUM_SHARDS, build_segment, clear_uncommitted, list_segments
 
 def _split_evenly(seq, n_chunks: int):
     """Split seq into n_chunks near-equal contiguous chunks."""
@@ -93,8 +91,11 @@ def build_index(
 
     if remaining:
         # runs from an interrupted attempt are stale (each build's merge
-        # only reads row groups listed in its own summary) — drop them
-        shutil.rmtree(os.path.join(out_dir, "runs"), ignore_errors=True)
+        # only reads row groups listed in its own summary) — drop them,
+        # along with any uncommitted segment dirs (write-once keys must
+        # start empty — engine.fsio commit protocol)
+        fsio.rmtree(fsio.join(out_dir, "runs"))
+        clear_uncommitted(out_dir, remaining)
 
         ds = corpus.map_batches(
             lambda b: assign_ids(b, num_parts), batch_format="pyarrow"
@@ -120,7 +121,7 @@ def build_index(
 
         _merge_stage(out_dir, analyzer, run_summary, remaining,
                      merge_num_cpus, merge_tasks)
-        shutil.rmtree(os.path.join(out_dir, "runs"), ignore_errors=True)
+        fsio.rmtree(fsio.join(out_dir, "runs"))
 
     stats = finalize_stats(out_dir)
     wall = time.perf_counter() - t0
@@ -254,7 +255,7 @@ def add_documents(
     remaining = sorted(set(range(start, start + q)) - done)
 
     if remaining:
-        shutil.rmtree(os.path.join(index_dir, "runs"), ignore_errors=True)
+        fsio.rmtree(fsio.join(index_dir, "runs"))
         ds = corpus.map_batches(
             lambda b: assign_ids(b, q, part_offset=start), batch_format="pyarrow"
         )
@@ -274,7 +275,7 @@ def add_documents(
         ).take_all()
         _merge_stage(index_dir, analyzer, run_summary, remaining,
                      merge_num_cpus, merge_tasks)
-        shutil.rmtree(os.path.join(index_dir, "runs"), ignore_errors=True)
+        fsio.rmtree(fsio.join(index_dir, "runs"))
 
     stats = finalize_stats(index_dir)
     stats["add_wall_seconds"] = round(time.perf_counter() - t0, 3)
@@ -326,8 +327,8 @@ def merge_indexes(
     remaining = sorted(set(range(num_parts)) - done)
 
     if remaining:
-        shutil.rmtree(os.path.join(out_dir, "runs"), ignore_errors=True)
-        runs_dir = os.path.join(out_dir, "runs")
+        fsio.rmtree(fsio.join(out_dir, "runs"))
+        runs_dir = fsio.join(out_dir, "runs")
         seg_paths = [p for d in index_dirs for p in list_segments(d)]
         excl = np.unique(np.asarray(exclude_doc_ids, np.int64)) if (
             exclude_doc_ids is not None and len(exclude_doc_ids)
@@ -355,7 +356,7 @@ def merge_indexes(
         )
         _merge_stage(out_dir, analyzer, run_summary, remaining,
                      merge_num_cpus, merge_tasks)
-        shutil.rmtree(runs_dir, ignore_errors=True)
+        fsio.rmtree(runs_dir)
 
     stats = finalize_stats(out_dir)
     stats["merge_wall_seconds"] = round(time.perf_counter() - t0, 3)
@@ -376,8 +377,6 @@ def finalize_stats(out_dir: str) -> dict:
     Data shuffle costs seconds of fixed overhead even on
     vocabulary-sized data, which is why the previous
     read_parquet→groupby finalize was the round-2 build regression)."""
-    import json
-
     manifests = checkpoint.read_segment_manifests(out_dir)
     num_docs = sum(m["num_docs"] for m in manifests)
     total_doc_len = sum(m["total_doc_len"] for m in manifests)
@@ -387,14 +386,12 @@ def finalize_stats(out_dir: str) -> dict:
     )
 
     seg_paths = [s for s in list_segments(out_dir)]
-    gt_dir = os.path.join(out_dir, "global_terms")
-    if os.path.isdir(gt_dir):
-        shutil.rmtree(gt_dir)
-    os.makedirs(gt_dir, exist_ok=True)
+    gt_dir = fsio.join(out_dir, "global_terms")
+    fsio.rmtree(gt_dir)
+    fsio.makedirs(gt_dir)
     vocab_size = _aggregate_global_terms(seg_paths, gt_dir) if seg_paths else 0
     meta = {"num_shards": GT_NUM_SHARDS, "hash": "fnv1a64"}
-    with open(os.path.join(out_dir, "global_terms_meta.json"), "w") as f:
-        json.dump(meta, f)
+    fsio.write_json(fsio.join(out_dir, "global_terms_meta.json"), meta)
 
     stats = {
         "num_docs": num_docs,
@@ -421,13 +418,11 @@ def _aggregate_global_terms(seg_paths: list[str], gt_dir: str) -> int:
     the hash partitioning was fixed at segment-write time, so the
     "shuffle" already happened for free inside the merge tasks.  Query
     actors then load one small file per touched shard
-    (engine.query._ShardedDf).  Writes are tmp+rename with
-    deterministic bytes, so task retries are benign."""
+    (engine.query._ShardedDf).  Writes go through the fsio commit
+    protocol with deterministic bytes, so task retries are benign."""
     from .segments import read_gt_shard
 
     def agg_shard(batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as _pq
-
         outs = []
         for s in batch.column("item").to_pylist():
             parts = [
@@ -447,13 +442,9 @@ def _aggregate_global_terms(seg_paths: list[str], gt_dir: str) -> int:
                      "df": pa.array([], pa.int64()),
                      "cf": pa.array([], pa.int64())}
                 )
-            final = os.path.join(gt_dir, f"shard-{int(s):04d}.parquet")
-            tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
-            _pq.write_table(tbl, tmp)
-            try:
-                os.rename(tmp, final)
-            except OSError:
-                os.unlink(tmp)
+            fsio.write_parquet(
+                tbl, fsio.join(gt_dir, f"shard-{int(s):04d}.parquet")
+            )
             outs.append(tbl.num_rows)
         return pa.table({"n": pa.array(outs, pa.int64())})
 
@@ -469,13 +460,11 @@ def read_global_terms(out_dir: str) -> pa.Table:
     """The aggregated (term, df, cf) table, driver-side — TEST/AUDIT
     helper only (it materializes the whole vocabulary; production paths
     go through the sharded lazy loader in engine.query)."""
-    import pyarrow.parquet as pq
-
     parts = []
     for s in list_segments(out_dir):
-        fp = os.path.join(s, "gt.parquet")
-        if os.path.exists(fp):
-            parts.append(pq.read_table(fp, columns=["term", "df", "cf"]))
+        fp = fsio.join(s, "gt.parquet")
+        if fsio.exists(fp):
+            parts.append(fsio.read_parquet(fp, columns=["term", "df", "cf"]))
     if not parts:
         return pa.table(
             {"term": pa.array([], pa.string()),
@@ -494,7 +483,7 @@ def read_global_terms(out_dir: str) -> pa.Table:
 def read_doc_stats(out_dir: str) -> "ray.data.Dataset":
     """T6 doc_stats as a Dataset: the per-segment docs.parquet files ARE
     the partitioned doc-stats table (resumable output layout)."""
-    files = [os.path.join(s, "docs.parquet") for s in list_segments(out_dir)]
+    files = [fsio.join(s, "docs.parquet") for s in list_segments(out_dir)]
     return ray.data.read_parquet(files)
 
 

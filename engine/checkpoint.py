@@ -5,24 +5,26 @@ segment writes that allow resume after failure", "resumable from
 checkpoint with per-partition lineage + metrics".
 
 Unit of checkpoint = one segment partition.  A segment is COMMITTED iff
-its directory (renamed atomically from a tmp dir by
-engine.segments.build_segment) contains ``manifest.json``.  Resume
-therefore needs no WAL: scan committed manifests, subtract their parts
-from range(P), and rebuild only the remainder.  Because doc_id (and so
-part = doc_id % P) is content-derived (engine/ids.py), a resumed build
-assigns every document to the same partition and produces byte-identical
-segments (tested in tests/test_resume.py).
+its directory contains a PARSEABLE ``manifest.json`` — the manifest is
+written LAST by engine.segments.build_segment, so it is the commit
+marker (no directory rename anywhere: the protocol works on object
+stores, engine.fsio).  Resume therefore needs no WAL: scan committed
+manifests, subtract their parts from range(P), and rebuild only the
+remainder.  Because doc_id (and so part = doc_id % P) is
+content-derived (engine/ids.py), a resumed build assigns every document
+to the same partition and produces byte-identical segments (tested in
+tests/test_resume.py).
 
 The build-level manifest (``build_manifest.json``) records the global
 config (P, analyzer, input) and is written FIRST; a resume validates the
 config matches before reusing segments.
+
+All paths may be plain local paths or filesystem URIs (engine.fsio).
 """
 
 from __future__ import annotations
 
-import json
-import os
-
+from . import fsio
 from .segments import SEG_PREFIX
 
 BUILD_MANIFEST = "build_manifest.json"
@@ -30,12 +32,11 @@ STATS_FILE = "collection_stats.json"
 
 
 def write_build_manifest(out_dir: str, num_parts: int, analyzer: str, source: str) -> None:
-    os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, BUILD_MANIFEST)
+    fsio.makedirs(out_dir)
+    path = fsio.join(out_dir, BUILD_MANIFEST)
     cfg = {"num_parts": num_parts, "analyzer": analyzer, "source": source, "version": 1}
-    if os.path.exists(path):
-        with open(path) as f:
-            prev = json.load(f)
+    if fsio.exists(path):
+        prev = fsio.read_json(path)
         # compare the BASE config only: an incrementally-extended index
         # additionally carries a "generations" list (add_documents)
         if {k: prev.get(k) for k in cfg} != cfg:
@@ -44,10 +45,7 @@ def write_build_manifest(out_dir: str, num_parts: int, analyzer: str, source: st
                 f"{prev}, now asked for {cfg}; use a fresh out_dir"
             )
         return
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(cfg, f, indent=1, sort_keys=True)
-    os.rename(tmp, path)
+    fsio.write_json(path, cfg)
 
 
 def generations(manifest: dict) -> list[tuple[int, int]]:
@@ -68,55 +66,55 @@ def append_generation(out_dir: str, parts: int) -> int:
     id.  Written BEFORE the generation's segments are built, so an
     interrupted add_documents is visible (last generation has missing
     parts) and resumable."""
-    path = os.path.join(out_dir, BUILD_MANIFEST)
-    with open(path) as f:
-        man = json.load(f)
+    path = fsio.join(out_dir, BUILD_MANIFEST)
+    man = fsio.read_json(path)
     gens = [list(g) for g in generations(man)]
     start = gens[-1][0] + gens[-1][1]
     man["generations"] = gens + [[start, parts]]
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(man, f, indent=1, sort_keys=True)
-    os.rename(tmp, path)
+    fsio.write_json(path, man)
     return start
 
 
 def read_build_manifest(out_dir: str) -> dict:
-    with open(os.path.join(out_dir, BUILD_MANIFEST)) as f:
-        return json.load(f)
+    return fsio.read_json(fsio.join(out_dir, BUILD_MANIFEST))
+
+
+def _segment_manifest(seg_path: str) -> dict | None:
+    """The segment's manifest, or None when absent/torn (= uncommitted;
+    a torn manifest can only result from an interrupted attempt, and
+    treating it as uncommitted makes resume rebuild the segment)."""
+    p = fsio.join(seg_path, "manifest.json")
+    try:
+        return fsio.read_json(p)
+    except (FileNotFoundError, OSError, ValueError):
+        return None
 
 
 def completed_parts(out_dir: str) -> set[int]:
-    """Parts with a committed segment (manifest present)."""
-    root = os.path.join(out_dir, "segments")
+    """Parts with a committed segment (parseable manifest present)."""
+    root = fsio.join(out_dir, "segments")
     done: set[int] = set()
-    if not os.path.isdir(root):
-        return done
-    for d in os.listdir(root):
+    for d in fsio.listdir(root):
         if d.startswith(SEG_PREFIX) and ".tmp-" not in d:
-            if os.path.exists(os.path.join(root, d, "manifest.json")):
+            if _segment_manifest(fsio.join(root, d)) is not None:
                 done.add(int(d[len(SEG_PREFIX):]))
     return done
 
 
 def read_segment_manifests(out_dir: str) -> list[dict]:
-    root = os.path.join(out_dir, "segments")
+    root = fsio.join(out_dir, "segments")
     out = []
-    for d in sorted(os.listdir(root)) if os.path.isdir(root) else []:
-        p = os.path.join(root, d, "manifest.json")
-        if d.startswith(SEG_PREFIX) and ".tmp-" not in d and os.path.exists(p):
-            with open(p) as f:
-                out.append(json.load(f))
+    for d in fsio.listdir(root):
+        if d.startswith(SEG_PREFIX) and ".tmp-" not in d:
+            m = _segment_manifest(fsio.join(root, d))
+            if m is not None:
+                out.append(m)
     return out
 
 
 def write_collection_stats(out_dir: str, stats: dict) -> None:
-    tmp = os.path.join(out_dir, STATS_FILE + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(stats, f, indent=1, sort_keys=True)
-    os.rename(tmp, os.path.join(out_dir, STATS_FILE))
+    fsio.write_json(fsio.join(out_dir, STATS_FILE), stats)
 
 
 def read_collection_stats(out_dir: str) -> dict:
-    with open(os.path.join(out_dir, STATS_FILE)) as f:
-        return json.load(f)
+    return fsio.read_json(fsio.join(out_dir, STATS_FILE))

@@ -16,21 +16,35 @@ import ray.data
 
 
 def documents_batch_to_corpus(batch: pa.Table) -> pa.Table:
-    """documents(doc_id, text, lang, source, n_chars) -> corpus rows."""
-    doc_id = batch.column("doc_id").to_pylist()
-    text = batch.column("text").to_pylist()
-    lang = batch.column("lang")
-    source = batch.column("source").to_pylist()
-    n = len(doc_id)
+    """documents(doc_id, text, lang, source, n_chars) -> corpus rows.
+
+    repo/path derive via arrow string kernels (no Python row loop —
+    this map sits inside the benchmarked build path); the commit sha1
+    is necessarily a per-row digest loop (no vectorized kernel exists;
+    same trade as exact_dedup's md5)."""
+    import pyarrow.compute as pc
+
+    text_col = batch.column("text")
     return pa.table(
         {
-            "repo": pa.array([f"testdata/{s}" for s in source], pa.string()),
-            "path": pa.array([f"docs/{d}.txt" for d in doc_id], pa.string()),
-            "commit": pa.array(
-                [hashlib.sha1(t.encode()).hexdigest() for t in text], pa.string()
+            "repo": pc.binary_join_element_wise(
+                "testdata/", pc.cast(batch.column("source"), pa.string()), ""
             ),
-            "lang": lang.cast(pa.string()),
-            "content": pa.array(text, pa.string()),
+            "path": pc.binary_join_element_wise(
+                "docs/",
+                pc.cast(batch.column("doc_id"), pa.string()),
+                ".txt",
+                "",
+            ),
+            "commit": pa.array(
+                [
+                    hashlib.sha1(t.encode()).hexdigest()
+                    for t in text_col.to_pylist()
+                ],
+                pa.string(),
+            ),
+            "lang": batch.column("lang").cast(pa.string()),
+            "content": pc.cast(text_col, pa.string()),
         }
     )
 
@@ -88,13 +102,17 @@ def read_corpus_from_documents(
         return ds.map_batches(documents_batch_to_corpus, batch_format="pyarrow")
 
     def expand(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         base = documents_batch_to_corpus(batch)
         parts = []
         for r in range(repeat):
             t = base
             if r > 0:
-                paths = [f"{p}.r{r}" for p in t.column("path").to_pylist()]
-                t = t.set_column(1, "path", pa.array(paths, pa.string()))
+                paths = pc.binary_join_element_wise(
+                    base.column("path"), f".r{r}", ""
+                )
+                t = base.set_column(1, "path", paths)
             parts.append(t)
         return pa.concat_tables(parts)
 

@@ -34,10 +34,12 @@ TOMBSTONES = "tombstones.parquet"
 
 def read_tombstones(index_dir: str) -> np.ndarray:
     """Sorted int64 doc_ids marked deleted (empty array if none)."""
-    p = os.path.join(index_dir, TOMBSTONES)
-    if not os.path.exists(p):
+    from . import fsio
+
+    p = fsio.join(index_dir, TOMBSTONES)
+    if not fsio.exists(p):
         return np.zeros(0, np.int64)
-    return pq.read_table(p, columns=["doc_id"]).column("doc_id").to_numpy()
+    return fsio.read_parquet(p, columns=["doc_id"]).column("doc_id").to_numpy()
 
 
 def delete_docs(index_dir: str, doc_ids) -> int:
@@ -46,10 +48,12 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     count after the merge."""
     new = np.asarray(list(doc_ids), np.int64)
     merged = np.unique(np.concatenate([read_tombstones(index_dir), new]))
-    p = os.path.join(index_dir, TOMBSTONES)
-    tmp = f"{p}.tmp-{os.getpid()}"
-    pq.write_table(pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp)
-    os.replace(tmp, p)
+    from . import fsio
+
+    fsio.write_parquet(
+        pa.table({"doc_id": pa.array(merged, pa.int64())}),
+        fsio.join(index_dir, TOMBSTONES),
+    )
     return int(merged.size)
 
 

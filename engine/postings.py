@@ -18,8 +18,10 @@ Data all-to-all:
   distribution is (hot terms end up split into P per-segment
   sub-posting lists — the spec's "hot terms split into sub-postings");
 - a run file's name is the sha256 of its sorted doc_ids, so a retried
-  task rewrites byte-identical files under the same name (atomic
-  tmp+rename): retries and speculative re-execution are idempotent;
+  task rewrites byte-identical files under the same write-once key
+  (engine.fsio commit protocol — atomic PUT on object stores,
+  tmp+rename locally): retries and speculative re-execution are
+  idempotent;
 - on a multi-node cluster the runs directory lives on shared/object
   storage — the same medium the segments target — which makes the
   exchange resumable and spill-free (measured here: the Ray sort-based
@@ -35,13 +37,12 @@ state.
 from __future__ import annotations
 
 import hashlib
-import os
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import analysis
+from . import analysis, fsio
 
 # Output schema of AnalyzeDocs (one row per input document).
 ANALYZED_DOC = pa.schema(
@@ -287,15 +288,16 @@ class AnalyzeWriteRuns(AnalyzeDocs):
     is O(1) per batch with no per-open metadata decode.
 
     The file name is the sha256 of the batch's sorted doc_ids, so a
-    retried task rewrites a byte-identical file under the same name
-    (atomic tmp+rename): retries are idempotent, and stale files from a
-    dead execution are never read because each build's merge stage only
-    consumes record batches listed in ITS OWN materialized summary.
+    retried task rewrites a byte-identical file under the same
+    write-once key (engine.fsio commit protocol): retries are
+    idempotent, and stale files from a dead execution are never read
+    because each build's merge stage only consumes record batches
+    listed in ITS OWN materialized summary.
     """
 
     def __init__(self, analyzer: str, out_dir: str):
         super().__init__(analyzer)
-        self._out = os.path.join(out_dir, "runs")
+        self._out = fsio.join(out_dir, "runs")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return write_run(super().__call__(batch), self._out)
@@ -325,22 +327,20 @@ def write_run(analyzed: pa.Table, runs_dir: str) -> pa.Table:
     for s in analyzed.column("content_sha256").to_pylist():
         h.update(s.encode())
     digest = h.hexdigest()[:32]
-    os.makedirs(runs_dir, exist_ok=True)
-    final = os.path.join(runs_dir, f"run-{digest}.arrow")
+    final = fsio.join(runs_dir, f"run-{digest}.arrow")
 
     bounds = np.concatenate(([0], np.nonzero(np.diff(parts))[0] + 1, [len(parts)]))
     uniq_parts = parts[bounds[:-1]] if len(parts) else np.zeros(0, np.int32)
-    if not os.path.exists(final):  # idempotent under retry
+    if not fsio.exists(final):  # idempotent under retry (write-once key)
+        import io
+
         opts = pa.ipc.IpcWriteOptions(compression="lz4")
-        tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
-        with pa.ipc.new_file(tmp, analyzed.schema, options=opts) as w:
+        buf = io.BytesIO()
+        with pa.ipc.new_file(buf, analyzed.schema, options=opts) as w:
             for i in range(len(uniq_parts)):
                 chunk = analyzed.slice(bounds[i], bounds[i + 1] - bounds[i])
                 w.write_table(chunk)  # one record batch (contiguous slice)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            os.unlink(tmp)
+        fsio.write_bytes_once(final, buf.getvalue())
     return pa.table(
         {
             "part": pa.array(uniq_parts.astype(np.int32), pa.int32()),
@@ -367,7 +367,7 @@ def load_run_parts(
     for path, rg, part in refs:
         by_file.setdefault(path, []).append((int(rg), int(part)))
     for path in sorted(by_file):
-        with pa.ipc.open_file(pa.memory_map(path)) as r:
+        with pa.ipc.open_file(fsio.open_input(path)) as r:
             for rg, part in sorted(by_file[path]):
                 batches[part].append(r.get_batch(rg))
     return {

@@ -21,16 +21,14 @@ loaded once per actor per segment).
 
 from __future__ import annotations
 
-import os
 import time
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray.data
 
-from . import analysis, bm25, wand
+from . import analysis, bm25, fsio, wand
 from .checkpoint import read_build_manifest, read_collection_stats
 from .segments import Segment, list_segments
 
@@ -76,16 +74,13 @@ class _ShardedDf:
     """
 
     def __init__(self, index_dir: str):
-        import json
-
         from .functions import fnv1a64
 
         self._fnv = fnv1a64
-        self._gt_dir = os.path.join(index_dir, "global_terms")
-        meta_path = os.path.join(index_dir, "global_terms_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                self.num_shards = int(json.load(f)["num_shards"])
+        self._gt_dir = fsio.join(index_dir, "global_terms")
+        meta_path = fsio.join(index_dir, "global_terms_meta.json")
+        if fsio.exists(meta_path):
+            self.num_shards = int(fsio.read_json(meta_path)["num_shards"])
         else:
             self.num_shards = 1  # legacy layout: everything is shard 0
         self._shards: dict[int, dict[str, int]] = {}
@@ -93,18 +88,20 @@ class _ShardedDf:
     def _load(self, shard: int) -> dict[str, int]:
         out: dict[str, int] = {}
         if self.num_shards == 1:
-            files = sorted(
-                f for f in os.listdir(self._gt_dir) if f.endswith(".parquet")
-            )
+            files = [
+                f for f in fsio.listdir(self._gt_dir) if f.endswith(".parquet")
+            ]
         else:  # a shard is the union of its shard-NNNN* files
             prefix = f"shard-{shard:04d}"
-            files = sorted(
-                f for f in os.listdir(self._gt_dir)
+            files = [
+                f for f in fsio.listdir(self._gt_dir)
                 if f.startswith(prefix) and f.endswith(".parquet")
                 and not ".tmp-" in f
-            )
+            ]
         for f in files:
-            t = pq.read_table(os.path.join(self._gt_dir, f), columns=["term", "df"])
+            t = fsio.read_parquet(
+                fsio.join(self._gt_dir, f), columns=["term", "df"]
+            )
             out.update(zip(t.column("term").to_pylist(), t.column("df").to_pylist()))
         return out
 

@@ -37,18 +37,19 @@ Everything in the build path is vectorized numpy/arrow over the whole
 segment — one dictionary-encode, one stable argsort, one varbyte pass
 per stream; no Python loop over postings.
 
-Writes are atomic: build into ``seg-XXXXX.tmp-<pid>``, rename into
-place; a concurrent retry losing the rename race discards its copy
-(segment bytes are deterministic, so both copies are identical).
+Writes are object-store safe: every file commits atomically through
+engine.fsio (tmp+rename locally, atomic PUT on object stores) and
+``manifest.json`` is written LAST as the commit marker — no directory
+rename exists.  Retries overwrite-or-skip identical deterministic
+bytes; crashed attempts leave no manifest and are cleared + rebuilt on
+resume (clear_uncommitted).
 """
 
 from __future__ import annotations
 
 import hashlib
-import json
 import mmap
 import os
-import shutil
 import time
 
 import numpy as np
@@ -56,6 +57,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from . import fsio
 from .codecs import delta_encode, vb_decode, vb_encode
 from .schema import POSTINGS_BLOCK
 
@@ -77,7 +79,7 @@ def _arr(table: pa.Table, name: str) -> pa.Array:
 
 
 def seg_dir(out_dir: str, part: int) -> str:
-    return os.path.join(out_dir, "segments", f"{SEG_PREFIX}{part:05d}")
+    return fsio.join(out_dir, "segments", f"{SEG_PREFIX}{part:05d}")
 
 
 # ---------------------------------------------------------------------------
@@ -273,21 +275,31 @@ def build_segment(group: pa.Table, out_dir: str, part: int, analyzer: str) -> di
         }
     )
 
-    # ---- atomic write: tmp dir -> rename ----
+    # ---- object-store-safe commit: per-file atomic writes (write-once
+    # content; atomic PUT on object stores, tmp+rename locally — see
+    # engine.fsio), then manifest.json LAST as the commit marker.  No
+    # directory rename exists; a retry racing a winner skips identical
+    # write-once files, and a crashed attempt leaves no manifest, so
+    # resume rebuilds the segment (build_index clears uncommitted
+    # segment dirs of remaining parts first). ----
     final = seg_dir(out_dir, part)
-    tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
-    os.makedirs(tmp, exist_ok=True)
-    with open(os.path.join(tmp, "postings.bin"), "wb") as f:
-        f.write(doc_bytes)
-        f.write(tf_bytes)
-        f.write(pos_bytes)
-    pq.write_table(dict_table, os.path.join(tmp, "dict.parquet"))
-    _write_gt_partial(dict_table, os.path.join(tmp, "gt.parquet"))
-    pq.write_table(blockmax_table, os.path.join(tmp, "blockmax.parquet"))
-    pq.write_table(docs_table, os.path.join(tmp, "docs.parquet"))
+    fsio.makedirs(final)
+    fsio.write_chunks(
+        fsio.join(final, "postings.bin"),
+        [doc_bytes, tf_bytes, pos_bytes],
+        once=True,
+    )
+    fsio.write_parquet(dict_table, fsio.join(final, "dict.parquet"), once=True)
+    _write_gt_partial(dict_table, fsio.join(final, "gt.parquet"))
+    fsio.write_parquet(
+        blockmax_table, fsio.join(final, "blockmax.parquet"), once=True
+    )
+    fsio.write_parquet(docs_table, fsio.join(final, "docs.parquet"), once=True)
     # small row groups: a doc_id point lookup decodes one row group via
     # the parquet min/max stats, not the whole partition
-    pq.write_table(fwd_table, os.path.join(tmp, "fwd.parquet"), row_group_size=1024)
+    fsio.write_parquet(
+        fwd_table, fsio.join(final, "fwd.parquet"), once=True, row_group_size=1024
+    )
 
     sha_roll = hashlib.sha256()
     for s in docs_table.column("content_sha256").to_pylist():
@@ -306,19 +318,18 @@ def build_segment(group: pa.Table, out_dir: str, part: int, analyzer: str) -> di
         "sections": {"doc": doc_sec_len, "tf": tf_sec_len, "pos": len(pos_bytes)},
         "build_seconds": round(time.perf_counter() - t0, 4),
     }
-    with open(os.path.join(tmp, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        # lost the race to a retried copy of this task; bytes are
-        # deterministic, so the winner's segment is identical.
-        if os.path.isdir(final):
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            raise
+    fsio.write_json(fsio.join(final, "manifest.json"), manifest)
     return manifest
+
+
+def clear_uncommitted(out_dir: str, parts) -> None:
+    """Delete the segment dirs of PARTS that lack a committed manifest —
+    a crashed attempt may have left partial write-once files there, and
+    rebuild must start from empty keys (engine.fsio commit protocol)."""
+    for p in parts:
+        d = seg_dir(out_dir, int(p))
+        if fsio.exists(d):
+            fsio.rmtree(d)
 
 
 def _write_gt_partial(dict_table: pa.Table, path: str) -> None:
@@ -350,22 +361,26 @@ def _write_gt_partial(dict_table: pa.Table, path: str) -> None:
     )
     # dict rows are term-sorted; a stable sort by shard keeps terms
     # sorted within each shard -> deterministic bytes
+    import io
+
     sub = sub.sort_by("shard")
     shards = sub.column("shard").to_numpy()
     bounds = np.nonzero(np.diff(shards, prepend=-1))[0] if len(shards) else []
-    with pq.ParquetWriter(path, sub.schema) as w:
+    buf = io.BytesIO()
+    with pq.ParquetWriter(buf, sub.schema) as w:
         for i, lo in enumerate(bounds):
             hi = bounds[i + 1] if i + 1 < len(bounds) else len(shards)
             w.write_table(sub.slice(lo, hi - lo))
+    fsio.write_bytes_once(path, buf.getvalue())
 
 
 def read_gt_shard(seg_path: str, shard: int) -> pa.Table | None:
     """One shard's (term, df, cf) rows from a segment's gt.parquet,
     reading only that shard's row group (located via column stats)."""
-    fp = os.path.join(seg_path, "gt.parquet")
-    if not os.path.exists(fp):
+    fp = fsio.join(seg_path, "gt.parquet")
+    if not fsio.exists(fp):
         return None
-    pf = pq.ParquetFile(fp)
+    pf = fsio.parquet_file(fp)
     md = pf.metadata
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(0).statistics
@@ -389,7 +404,7 @@ class Segment:
 
     def __init__(self, path: str):
         self.path = path
-        d = pq.read_table(os.path.join(path, "dict.parquet"))
+        d = fsio.read_parquet(fsio.join(path, "dict.parquet"))
         self.terms: list[str] = d.column("term").to_pylist()  # row order == term order
         self.term_idx: dict[str, int] = {t: i for i, t in enumerate(self.terms)}
         self.df = d.column("df").to_numpy()
@@ -403,13 +418,13 @@ class Segment:
         self.pos_nbytes = d.column("pos_nbytes").to_numpy()
         self.n_postings = d.column("n_postings").to_numpy()
 
-        b = pq.read_table(os.path.join(path, "blockmax.parquet"))
+        b = fsio.read_parquet(fsio.join(path, "blockmax.parquet"))
         self.blk_last = _list_col(b, "last_dids")
         self.blk_max_tf = _list_col(b, "max_tfs")
         self.blk_doc_boffs = _list_col(b, "doc_boffs")
         self.blk_tf_boffs = _list_col(b, "tf_boffs")
 
-        docs = pq.read_table(os.path.join(path, "docs.parquet"))
+        docs = fsio.read_parquet(fsio.join(path, "docs.parquet"))
         self.doc_ids = docs.column("doc_id").to_numpy()
         self.doc_lens = docs.column("doc_len").to_numpy().astype(np.float64)
         self.repo = docs.column("repo").to_numpy(zero_copy_only=False)
@@ -417,15 +432,22 @@ class Segment:
         self.num_docs = len(self.doc_ids)
         self.min_doc_len = float(self.doc_lens.min()) if self.num_docs else 1.0
 
-        with open(os.path.join(path, "manifest.json")) as f:
-            self.manifest = json.load(f)
-        self._f = open(os.path.join(path, "postings.bin"), "rb")
-        size = os.fstat(self._f.fileno()).st_size
+        self.manifest = fsio.read_json(fsio.join(path, "manifest.json"))
         self.buf: memoryview | bytes
-        if size:
-            self.buf = memoryview(mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ))
+        if "://" not in path and not fsio.FORCE_NO_RENAME:
+            # local fast path: mmap so block decodes slice zero-copy
+            self._f = open(os.path.join(path, "postings.bin"), "rb")
+            size = os.fstat(self._f.fileno()).st_size
+            if size:
+                self.buf = memoryview(
+                    mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+                )
+            else:
+                self.buf = b""
         else:
-            self.buf = b""
+            # generic-filesystem path: one ranged read of the postings
+            # file (remote serving would put a local block cache here)
+            self.buf = fsio.read_bytes(fsio.join(path, "postings.bin"))
         # decoded-postings LRU (hot Zipf-head terms are decoded on every
         # query otherwise); bounded by posting count, not entries
         self._dec_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -445,8 +467,8 @@ class Segment:
         """Per-ordinal doc language (lazy; filtered-search masks).  Not
         loaded in __init__ — only filtered queries pay for it."""
         if getattr(self, "_langs", None) is None:
-            t = pq.read_table(
-                os.path.join(self.path, "docs.parquet"), columns=["lang"]
+            t = fsio.read_parquet(
+                fsio.join(self.path, "docs.parquet"), columns=["lang"]
             )
             self._langs = t.column("lang").to_numpy(zero_copy_only=False)
         return self._langs
@@ -469,10 +491,10 @@ class Segment:
         already-loaded segment vocabulary.  None if the doc is absent or
         the segment predates the forward index."""
         if self._fwd_pf is None:
-            fp = os.path.join(self.path, "fwd.parquet")
-            if not os.path.exists(fp):
+            fp = fsio.join(self.path, "fwd.parquet")
+            if not fsio.exists(fp):
                 return None
-            self._fwd_pf = pq.ParquetFile(fp)
+            self._fwd_pf = fsio.parquet_file(fp)
             md = self._fwd_pf.metadata
             self._fwd_rg_max = np.array(
                 [md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)],
@@ -622,7 +644,7 @@ def segment_to_analyzed(path: str, num_parts_out: int) -> pa.Table:
     from .postings import ANALYZED_DOC
 
     seg = Segment(path)
-    docs = pq.read_table(os.path.join(path, "docs.parquet"))
+    docs = fsio.read_parquet(fsio.join(path, "docs.parquet"))
     n = docs.num_rows
     # dict.parquet rows are written in term-string order; iterate rows
     # in order so a stable sort by ordinal yields per-doc sorted terms
@@ -691,13 +713,11 @@ def _list_col(t: pa.Table, name: str) -> list[np.ndarray]:
 
 
 def list_segments(out_dir: str) -> list[str]:
-    root = os.path.join(out_dir, "segments")
-    if not os.path.isdir(root):
-        return []
+    root = fsio.join(out_dir, "segments")
     return sorted(
-        os.path.join(root, d)
-        for d in os.listdir(root)
+        fsio.join(root, d)
+        for d in fsio.listdir(root)
         if d.startswith(SEG_PREFIX)
         and not ".tmp-" in d
-        and os.path.exists(os.path.join(root, d, "manifest.json"))
+        and fsio.exists(fsio.join(root, d, "manifest.json"))
     )

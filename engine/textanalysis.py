@@ -186,7 +186,11 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(fn, batch_format="pyarrow")
 
 
-def lm_doc_scores(sf_dir: str) -> "ray.data.Dataset":
+def lm_doc_scores(
+    sf_dir: str,
+    strategy: str = "auto",
+    vocab_broadcast_max: int | None = None,
+) -> "ray.data.Dataset":
     """Per-doc unigram language-model score — the classic
     perplexity-style quality signal for training-data filtering: each
     token contributes ln(cf(token)/total_tokens) (corpus-MLE unigram
@@ -199,27 +203,50 @@ def lm_doc_scores(sf_dir: str) -> "ray.data.Dataset":
     BIGINT)``), so the per-doc sum is an integer sum — exact and
     order-independent no matter how either engine schedules it.
 
-    Broadcast pattern (same Zipf-bound justification as
-    tfidf_top_terms): phase 1 = the (term, cf) vocabulary table +
-    total token count; phase 2 = ONE streaming corpus pass with
-    dictionary-encoded token lookup (per-DISTINCT-term, not per-token).
-    Docs with zero tokens emit nothing (no LM score; matches the SQL
-    join semantics).
+    Strategy (same bounded-broadcast-or-join discipline as
+    tfidf_top_terms): while the vocabulary fits ``vocab_broadcast_max``
+    the (term, cf) table is collected BOUNDED + broadcast and scoring
+    is ONE streaming pass with dictionary-encoded token lookup
+    (per-DISTINCT-term, not per-token); past the bound, (doc_id, term,
+    tf) rows hash-join the distributed cf aggregate and a
+    groupby(doc_id) sums the exact integer contributions — identical
+    output (integer micros are associative by construction).  Docs
+    with zero tokens emit nothing (no LM score; matches the SQL join
+    semantics).
 
     Output: (doc_id, doc_len, lm_sum_micro, lm_mean_r).
     """
     import math
 
     from .functions import micro_signed, round6_signed
-    from .textstats import _split_lower, term_stats
+    from .textstats import (
+        VOCAB_BROADCAST_MAX,
+        _split_lower,
+        collect_bounded,
+        term_stats,
+    )
 
     import ray
 
-    cf_rows = term_stats(sf_dir).select_columns(["term", "cf"]).take_all()
-    total = sum(int(r["cf"]) for r in cf_rows)
+    if vocab_broadcast_max is None:
+        vocab_broadcast_max = VOCAB_BROADCAST_MAX
+    vt = None
+    if strategy in ("auto", "broadcast"):
+        vt = collect_bounded(
+            term_stats(sf_dir).select_columns(["term", "cf"]),
+            vocab_broadcast_max,
+        )
+    if vt is None:
+        if strategy == "broadcast":
+            raise ValueError("vocabulary exceeds vocab_broadcast_max")
+        return _lm_doc_scores_join(sf_dir)
+
+    cf_terms = vt.column("term").to_pylist()
+    cf_vals = vt.column("cf").to_pylist()
+    total = sum(int(c) for c in cf_vals)
     lp = {
-        r["term"]: int(micro_signed(math.log(int(r["cf"]) / total)))
-        for r in cf_rows
+        t: int(micro_signed(math.log(int(c) / total)))
+        for t, c in zip(cf_terms, cf_vals)
     }
     ref = ray.put(lp)
 
@@ -255,6 +282,70 @@ def lm_doc_scores(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(score, batch_format="pyarrow")
+
+
+def _lm_doc_scores_join(sf_dir: str) -> "ray.data.Dataset":
+    """Vocabulary-unbounded LM-score path: (doc_id, term, tf) rows
+    hash-join the distributed (term, cf) aggregate, per-row integer
+    contributions (tf x micro log-prob) are summed by a
+    groupby(doc_id).  Exactly equal to the broadcast path — the micros
+    quantization makes the sum order-independent by construction."""
+    import math
+
+    import ray.data
+
+    from .functions import micro_signed, round6_signed
+    from .textstats import _doc_term_tf, _join_parts, _term_partials, term_stats
+
+    total = int(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(_term_partials, batch_format="pyarrow")
+        .sum("cf")
+    )
+    tf_rows = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_doc_term_tf, batch_format="pyarrow")
+    cf_ds = term_stats(sf_dir).select_columns(["term", "cf"])
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        cf = batch.column("cf").to_numpy()
+        tf = batch.column("tf").to_numpy()
+        micro_by_cf = {
+            int(c): int(micro_signed(math.log(int(c) / total)))
+            for c in np.unique(cf)
+        }
+        micro = np.fromiter(
+            (micro_by_cf[int(c)] for c in cf), np.int64, count=len(cf)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "tf": batch.column("tf"),
+                "c_micro": pa.array(tf * micro, pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dl = batch.column("sum(tf)").to_numpy()
+        s = batch.column("sum(c_micro)").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "doc_len": pa.array(dl, pa.int64()),
+                "lm_sum_micro": pa.array(s, pa.int64()),
+                "lm_mean_r": pa.array(round6_signed(s / 1e6 / dl), pa.float64()),
+            }
+        )
+
+    return (
+        tf_rows.join(cf_ds, "inner", num_partitions=_join_parts(), on=("term",))
+        .map_batches(contrib, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum(["tf", "c_micro"])
+        .map_batches(finish, batch_format="pyarrow")
+    )
 
 
 def repetition_scores(sf_dir: str, dup_w: int = 2) -> "ray.data.Dataset":

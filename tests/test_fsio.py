@@ -1,0 +1,124 @@
+"""Object-store commit protocol (engine.fsio): full build+query+resume
+against a LocalFileSystem-via-URI index root — every write takes the
+generic (no-rename) path — with byte-identity against a plain-local
+build, plus a direct no-rename assertion on the fsio writers
+(VERDICT r02 missing #1 / task #3)."""
+
+import hashlib
+import os
+
+import pytest
+
+from engine import fsio
+
+SF = "/root/testdata/sf0.001"
+PARTS = 6
+
+
+def _build(out, resume=False):
+    from engine.build import build_index
+    from engine.corpus import read_corpus_from_documents
+
+    return build_index(
+        read_corpus_from_documents(SF),
+        out,
+        num_parts=PARTS,
+        analyzer="code",
+        analyzer_concurrency=(1, 3),
+        resume=resume,
+    )
+
+
+def _postings_shas(local_root: str) -> dict[str, str]:
+    out = {}
+    segs = os.path.join(local_root, "segments")
+    for d in sorted(os.listdir(segs)):
+        p = os.path.join(segs, d, "postings.bin")
+        with open(p, "rb") as f:
+            out[d] = hashlib.sha256(f.read()).hexdigest()
+    return out
+
+
+def test_fsio_writers_never_rename_on_uri_paths(tmp_path, monkeypatch):
+    """With a URI path every fsio writer must take the object-store
+    protocol: no os.rename / os.replace at all."""
+    def boom(*a, **k):
+        raise AssertionError("os.rename on the URI data path")
+
+    monkeypatch.setattr(os, "rename", boom)
+    monkeypatch.setattr(os, "replace", boom)
+    root = f"file://{tmp_path}/x"
+    import pyarrow as pa
+
+    fsio.makedirs(root)
+    fsio.write_bytes(fsio.join(root, "a.bin"), b"hello")
+    fsio.write_chunks(fsio.join(root, "b.bin"), [b"he", b"llo"], once=True)
+    fsio.write_bytes_once(fsio.join(root, "a.bin"), b"ignored")  # exists -> skip
+    fsio.write_json(fsio.join(root, "m.json"), {"k": 1})
+    fsio.write_parquet(pa.table({"x": [1, 2]}), fsio.join(root, "t.parquet"))
+    assert fsio.read_bytes(fsio.join(root, "a.bin")) == b"hello"
+    assert fsio.read_bytes(fsio.join(root, "b.bin")) == b"hello"
+    assert fsio.read_json(fsio.join(root, "m.json")) == {"k": 1}
+    assert fsio.read_parquet(fsio.join(root, "t.parquet")).column("x").to_pylist() == [1, 2]
+    assert sorted(fsio.listdir(root)) == ["a.bin", "b.bin", "m.json", "t.parquet"]
+    # and the file really landed without a sibling tmp artifact
+    assert sorted(os.listdir(tmp_path / "x")) == ["a.bin", "b.bin", "m.json", "t.parquet"]
+
+
+def test_build_query_resume_on_uri_root(ray_session, tmp_path):
+    """Full lifecycle on a ``file://`` URI root (generic protocol in
+    every Ray worker): segments byte-identical to a plain-local build,
+    search results identical, interrupted build resumes to the same
+    bytes."""
+    from engine.query import run_queries
+
+    ref = str(tmp_path / "ref")
+    _build(ref)
+    ref_shas = _postings_shas(ref)
+
+    uri = f"file://{tmp_path}/uri_idx"
+    local = str(tmp_path / "uri_idx")
+    stats = _build(uri)
+    assert stats["num_docs"] == 500
+    got_shas = _postings_shas(local)
+    assert got_shas == ref_shas  # byte-identity across protocols
+    # no tmp artifacts anywhere under the URI root
+    for dirpath, _, files in os.walk(local):
+        assert not [f for f in files if ".tmp-" in f], (dirpath, files)
+
+    # query through the URI root (readers take the generic branch too)
+    qs = [{"query_id": 1, "text": "data processing pipeline", "k": 5}]
+    uri_rows = sorted(
+        (r["rank"], r["doc_id"], r["score"])
+        for r in run_queries(uri, qs, concurrency=(1, 2)).take_all()
+    )
+    ref_rows = sorted(
+        (r["rank"], r["doc_id"], r["score"])
+        for r in run_queries(ref, qs, concurrency=(1, 2)).take_all()
+    )
+    assert uri_rows == ref_rows and len(uri_rows) == 5
+
+    # interrupt: drop two committed segments + stats, resume on the URI
+    import shutil
+
+    for part in (1, 4):
+        shutil.rmtree(os.path.join(local, "segments", f"seg-{part:05d}"))
+    os.unlink(os.path.join(local, "collection_stats.json"))
+    _build(uri, resume=True)
+    assert _postings_shas(local) == ref_shas
+
+
+def test_uncommitted_segment_cleared_on_resume(ray_session, tmp_path):
+    """A crashed attempt's partial segment files (no manifest) must be
+    CLEARED and rebuilt — write-once keys start empty (fsio protocol)."""
+    out = str(tmp_path / "idx")
+    _build(out)
+    shas = _postings_shas(out)
+    seg = os.path.join(out, "segments", "seg-00002")
+    # simulate a torn attempt: manifest gone, postings truncated
+    os.unlink(os.path.join(seg, "manifest.json"))
+    with open(os.path.join(seg, "postings.bin"), "wb") as f:
+        f.write(b"torn")
+    os.unlink(os.path.join(out, "collection_stats.json"))
+    _build(out, resume=True)
+    assert _postings_shas(out) == shas

@@ -129,3 +129,31 @@ def test_snippets_vs_python(ray_session, sf_dir):
                 )
     assert got == want
     assert len(got) > 100  # non-vacuous
+
+
+def test_vocab_ops_join_equals_broadcast(ray_session, sf_dir):
+    """The hash-join (vocabulary-unbounded) strategy of each per-doc
+    scoring op is bit-identical to the broadcast strategy, and 'auto'
+    flips to join when the vocabulary exceeds the bound (VERDICT r02
+    task #5)."""
+    from engine import textanalysis
+
+    def norm(x):
+        lst = x.to_pylist() if not hasattr(x, "take_all") else x.take_all()
+        return sorted(tuple(sorted(r.items())) for r in lst)
+
+    for fn in (
+        lambda s: textstats.tfidf_top_terms(sf_dir, strategy=s),
+        lambda s: textstats.bigram_pmi(sf_dir, strategy=s),
+        lambda s: textanalysis.lm_doc_scores(sf_dir, strategy=s),
+    ):
+        a, b = norm(fn("broadcast")), norm(fn("join"))
+        assert a == b and a
+    # auto flips onto the join path under a tiny bound (and still
+    # produces the same result)
+    tiny = norm(textstats.tfidf_top_terms(sf_dir, strategy="auto", vocab_broadcast_max=2))
+    assert tiny == norm(textstats.tfidf_top_terms(sf_dir, strategy="broadcast"))
+    with pytest.raises(ValueError):
+        textstats.tfidf_top_terms(
+            sf_dir, strategy="broadcast", vocab_broadcast_max=2
+        ).take_all()
