@@ -934,17 +934,19 @@ def run_queries(
     n_segs = len(list_segments(index_dir))
     if n_segs == 0:
         raise ValueError(f"no segments under {index_dir}")
+    n_queries_hint = kmax_hint = 0  # Dataset input -> unknown/unbounded
     if not isinstance(queries, ray.data.Dataset):
-        queries = ray.data.from_items(
-            [
-                {
-                    "query_id": int(q["query_id"]),
-                    "text": q["text"],
-                    "k": int(q.get("k", 10)),
-                }
-                for q in queries
-            ]
-        )
+        qlist = [
+            {
+                "query_id": int(q["query_id"]),
+                "text": q["text"],
+                "k": int(q.get("k", 10)),
+            }
+            for q in queries
+        ]
+        n_queries_hint = len(qlist)
+        kmax_hint = max((q["k"] for q in qlist), default=0)
+        queries = ray.data.from_items(qlist)
 
     segs_per_task = max(1, min(8, n_segs))
 
@@ -978,6 +980,43 @@ def run_queries(
         merge = merge_topk_collapsed
     else:
         merge = merge_topk
+
+    # K3 merge: the partials are k-sized per (query, segment-range) —
+    # for a bounded query batch the whole partial set is
+    # n_queries x ceil(P / segs_per_task) x k rows, and routing it
+    # through a groupby all-to-all costs seconds of fixed shuffle
+    # overhead (CLAUDE.md rule).  Small batches therefore merge
+    # driver-side; unbounded/Dataset query streams keep the
+    # distributed groupby merge.
+    est_partial_rows = n_queries_hint * -(-n_segs // segs_per_task) * kmax_hint
+    if 0 < est_partial_rows <= 500_000:
+        rows = scored.take_all()
+        if not rows:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "rank": pa.array([], pa.int32()),
+                        "doc_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                        "repo": pa.array([], pa.string()),
+                        "path": pa.array([], pa.string()),
+                    }
+                )
+            )
+        t = pa.Table.from_pylist(rows)
+        qids = t.column("query_id").to_numpy()
+        order = np.argsort(qids, kind="stable")
+        t = t.take(pa.array(order, pa.int64()))
+        qids = qids[order]
+        bounds = np.concatenate(
+            ([0], np.nonzero(np.diff(qids))[0] + 1, [len(qids)])
+        )
+        merged = [
+            merge(t.slice(bounds[i], bounds[i + 1] - bounds[i]))
+            for i in range(len(bounds) - 1)
+        ]
+        return ray.data.from_arrow(pa.concat_tables(merged))
     return scored.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
