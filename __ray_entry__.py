@@ -1042,6 +1042,14 @@ def _q_split_corpus(sf_dir: str):
     return split_corpus(sf_dir)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR-style hashed-n-gram importance weights (target = lang='en'
+    docs); exact integer-micros log ratios — engine.prep.dsir_weights."""
+    from engine.prep import dsir_weights
+
+    return dsir_weights(sf_dir, n_buckets=4096, target_lang="en")
+
+
 def _q_quality_scores(sf_dir: str):
     from engine import textanalysis
 
@@ -1284,6 +1292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         # -- new / touched this round --
         "knn_recall": _q_knn_recall,
+        "dsir_weights": _q_dsir_weights,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "lm_doc_scores": _q_lm_doc_scores,
         "dedup_clusters": _q_dedup_clusters,
@@ -1302,8 +1311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_federated": _q_bm25_federated,
         "export_postings": _q_export_postings,
         "verify_invariant": _q_verify_invariant,
-        "term_df": _q_term_df,
         # ---- driver window (50) ends around here ----
+        "term_df": _q_term_df,
         "spell_suggest": _q_spell_suggest,
         "doc_lengths": _q_doc_lengths,
         "term_cf": _q_term_cf,
@@ -2749,6 +2758,51 @@ SELECT a.doc_id AS a, b.doc_id AS b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        # DSIR importance weights: hashed-gram bucket models replayed
+        # exactly — FNV-1a-64 over DISTINCT grams (ASCII, so unicode()
+        # == utf-8 byte), Laplace-smoothed ln ratios quantized to
+        # integer micros, per-doc integer sums
+        "dsir_weights": """
+WITH docs AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, u.g AS g
+  FROM docs, unnest(list_concat(
+      w,
+      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+  )) AS u(g)
+),
+gh AS (
+  SELECT g,
+    CAST(list_reduce(
+      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        list_transform(range(1, length(g)+1), i -> CAST(unicode(g[i]) AS HUGEINT))),
+      (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616
+    ) AS UBIGINT) % 4096 AS bucket
+  FROM (SELECT DISTINCT g FROM grams)
+),
+bc AS (
+  SELECT bucket, count(*) AS c_all,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+  FROM grams JOIN gh USING (g) GROUP BY bucket
+),
+tot AS (SELECT sum(c_all) AS ta, sum(c_tgt) AS tt FROM bc),
+delta AS (
+  SELECT bucket,
+    CAST(round(ln((c_tgt + 1.0) / (tt + 4096)) * 1000000) AS BIGINT)
+  - CAST(round(ln((c_all + 1.0) / (ta + 4096)) * 1000000) AS BIGINT) AS d
+  FROM bc, tot
+)
+SELECT g2.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(d) AS BIGINT) AS dsir_sum_micro,
+       round(sum(d) / 1000000.0 / count(*), 6) AS dsir_mean_r
+FROM grams g2 JOIN gh USING (g) JOIN delta USING (bucket)
+GROUP BY g2.doc_id
 """,
         "language_id": _language_id_sql(),
         "media_decode": (

@@ -249,3 +249,141 @@ def epoch_shuffle(sf_dir: str, epoch: int = 0, k: int = 100) -> "ray.data.Datase
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (data selection for pretraining)
+# ---------------------------------------------------------------------------
+
+
+def _gram_buckets(batch: pa.Table, n_buckets: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-occurrence (doc index, hashed-gram bucket) for a batch:
+    grams are unigrams + within-doc bigrams of the simple analyzer,
+    bucketed by fnv1a64(gram) % n_buckets.  Only DISTINCT grams are
+    hashed (dictionary-encode first); the occurrence expansion is a
+    table lookup."""
+    from .functions import fnv1a64_arr
+
+    doc_rep, _, flat = _split_lower(batch)
+    if len(flat) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ok = doc_rep[:-1] == doc_rep[1:] if len(flat) > 1 else np.zeros(0, bool)
+    if ok.any():
+        a = flat.slice(0, len(flat) - 1).filter(pa.array(ok))
+        b = flat.slice(1, len(flat) - 1).filter(pa.array(ok))
+        bigrams = pc.binary_join_element_wise(a, b, " ")
+        grams = pa.concat_arrays([flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat, bigrams])
+        gram_doc = np.concatenate([doc_rep, doc_rep[:-1][ok]])
+    else:
+        grams = flat
+        gram_doc = doc_rep
+    denc = pc.dictionary_encode(grams)
+    codes = denc.indices.to_numpy().astype(np.int64)
+    lut = (
+        fnv1a64_arr(denc.dictionary.to_pylist()) % np.uint64(n_buckets)
+    ).astype(np.int64)
+    return gram_doc, lut[codes]
+
+
+def dsir_weights(
+    sf_dir: str, n_buckets: int = 4096, target_lang: str = "en"
+) -> "ray.data.Dataset":
+    """DSIR-style importance weights for data selection ([Xie et al.
+    2023, *Data Selection via Importance Resampling*]): fit
+    bag-of-hashed-n-gram (unigram + bigram) bucket models for the
+    TARGET distribution (here: docs whose ``lang == target_lang``, the
+    stand-in for a high-quality target corpus) and the RAW distribution
+    (all docs), then score every doc with the log importance ratio
+
+        w(doc) = Σ_grams [ ln p̂(bucket) - ln q̂(bucket) ]
+
+    with Laplace-smoothed bucket probabilities p̂ = (c_t+1)/(T_t+B),
+    q̂ = (c_a+1)/(T_a+B).  Each per-bucket log term is quantized to
+    integer MICROS once (math.log — libm, bit-equal to DuckDB ``ln``),
+    so the per-doc sum is an exact, order-independent integer across
+    engines (the lm_doc_scores trick).
+
+    Scale shape: pass 1 is a combiner-first bucket-count aggregate —
+    the groupby moves at most ``n_buckets`` partial rows per batch and
+    the driver holds exactly B (bucket, c_all, c_tgt) rows (CONSTANT,
+    chosen, not data-dependent); pass 2 broadcasts the B-entry int64
+    delta table via ``ray.put`` and streams the corpus once, fully
+    vectorized.  No vocabulary-sized state exists anywhere — that is
+    the point of hashed features.
+
+    Output: (doc_id, n_grams, dsir_sum_micro, dsir_mean_r); docs with
+    zero tokens emit nothing (SQL join semantics).
+    """
+    import math
+
+    from .functions import micro_signed, round6_signed
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        gram_doc, buckets = _gram_buckets(batch, n_buckets)
+        if not len(buckets):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "c_all": pa.array([], pa.int64()),
+                    "c_tgt": pa.array([], pa.int64()),
+                }
+            )
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        tgt_occ = (langs == target_lang)[gram_doc]
+        c_all = np.bincount(buckets, minlength=n_buckets)
+        c_tgt = np.bincount(buckets[tgt_occ], minlength=n_buckets)
+        nz = np.nonzero(c_all)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "c_all": pa.array(c_all[nz], pa.int64()),
+                "c_tgt": pa.array(c_tgt[nz], pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum(["c_all", "c_tgt"])
+        .take_all()
+    )  # <= n_buckets rows — constant-bounded driver state
+    c_all = np.zeros(n_buckets, np.int64)
+    c_tgt = np.zeros(n_buckets, np.int64)
+    for r in rows:
+        c_all[int(r["bucket"])] = int(r["sum(c_all)"])
+        c_tgt[int(r["bucket"])] = int(r["sum(c_tgt)"])
+    t_a, t_t = int(c_all.sum()), int(c_tgt.sum())
+    delta = np.zeros(n_buckets, np.int64)
+    for b in np.nonzero(c_all)[0]:
+        p = math.log((int(c_tgt[b]) + 1) / (t_t + n_buckets))
+        q = math.log((int(c_all[b]) + 1) / (t_a + n_buckets))
+        delta[b] = int(micro_signed(p)) - int(micro_signed(q))
+    ref = ray.put(delta)
+
+    def score(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        gram_doc, buckets = _gram_buckets(batch, n_buckets)
+        n = batch.num_rows
+        n_grams = np.bincount(gram_doc, minlength=n).astype(np.int64)
+        sums = np.bincount(
+            gram_doc, weights=d[buckets], minlength=n
+        ).astype(np.int64)
+        mask = n_grams > 0
+        ids = batch.column("doc_id").to_numpy()[mask]
+        ng = n_grams[mask]
+        s = sums[mask]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(ng, pa.int64()),
+                "dsir_sum_micro": pa.array(s, pa.int64()),
+                "dsir_mean_r": pa.array(round6_signed(s / 1e6 / ng), pa.float64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(score, batch_format="pyarrow")

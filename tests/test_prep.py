@@ -124,3 +124,72 @@ def test_epoch_shuffle_properties(ray_session):
     assert [r["pos"] for r in e1] == list(range(1, 51))
     keys = [r["shuffle_key"] for r in e1]
     assert keys == sorted(keys)
+
+
+def test_dsir_weights_vs_local(ray_session, sf_dir):
+    """DSIR importance weights == a local pure-Python replay (hashed
+    uni+bi-gram bucket models, Laplace smoothing, integer micros), and
+    target-language docs score higher on average (the op's purpose)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from engine.functions import fnv1a64, micro_signed
+    from engine.prep import dsir_weights
+
+    B = 4096
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    grams_by_doc: dict[int, list[int]] = {}
+    langs: dict[int, str] = {}
+    bucket_memo: dict[str, int] = {}
+
+    def bucket(g: str) -> int:
+        got = bucket_memo.get(g)
+        if got is None:
+            got = bucket_memo[g] = fnv1a64(g) % B
+        return got
+
+    for did, text, lang in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("text").to_pylist(),
+        t.column("lang").to_pylist(),
+    ):
+        toks = [w for w in text.lower().split(" ") if w]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        grams_by_doc[did] = [bucket(g) for g in grams]
+        langs[did] = lang
+
+    c_all = [0] * B
+    c_tgt = [0] * B
+    for did, bs in grams_by_doc.items():
+        for b in bs:
+            c_all[b] += 1
+            if langs[did] == "en":
+                c_tgt[b] += 1
+    ta, tt = sum(c_all), sum(c_tgt)
+    delta = [
+        int(micro_signed(math.log((c_tgt[b] + 1) / (tt + B))))
+        - int(micro_signed(math.log((c_all[b] + 1) / (ta + B))))
+        for b in range(B)
+    ]
+    want = {
+        did: (len(bs), sum(delta[b] for b in bs))
+        for did, bs in grams_by_doc.items()
+        if bs
+    }
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_sum_micro"])
+        for r in dsir_weights(sf_dir, n_buckets=B).take_all()
+    }
+    assert got == want
+
+    by_lang: dict[str, list[float]] = {}
+    for did, (ng, s) in got.items():
+        by_lang.setdefault(langs[did], []).append(s / ng)
+    mean_en = sum(by_lang["en"]) / len(by_lang["en"])
+    for lang, vals in by_lang.items():
+        if lang != "en":
+            assert mean_en > sum(vals) / len(vals)
