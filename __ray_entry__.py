@@ -153,6 +153,51 @@ def _q_bm25_topk_nostem(sf_dir: str):
     )
 
 
+# Multi-term subset used for pagination: single-term queries ('merge')
+# tie raw scores within the top-22, and the engine tie-breaks on
+# internal doc_id while SQL uses source doc_id (the round-2 lesson) —
+# so the paged entry sticks to the tie-free multi-term queries.
+_PAGED_QUERIES = [q for q in _BM25_QUERIES if q["query_id"] in (0, 1, 2)]
+
+
+def _q_bm25_paged_nostem(sf_dir: str):
+    """search_after pagination: page 1 (ranks 1-10) supplies each
+    query's (score, doc_id) cursor; page 2 must equal the oracle's
+    ranks 11-20 exactly.  Deep pages never over-fetch — each segment
+    applies the cursor BEFORE its top-k cut (engine.wand
+    exhaustive_topk after=)."""
+    from engine.query import run_queries
+
+    out = _build_simple_index(sf_dir)
+    p1 = run_queries(out, _PAGED_QUERIES, concurrency=(1, 4)).take_all()
+    cursor: dict[int, tuple[float, int]] = {}
+    for r in p1:
+        if r["rank"] == 10:
+            cursor[int(r["query_id"])] = (float(r["score"]), int(r["doc_id"]))
+    q2 = [
+        {**q, "after": cursor[q["query_id"]]}
+        for q in _PAGED_QUERIES
+        if q["query_id"] in cursor
+    ]
+    res = run_queries(out, q2, concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": pa.array(
+                [int(r) + 10 for r in t.column("rank").to_pylist()], pa.int64()
+            ),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 # Rank-1 docs of the non-OOV _BM25_QUERIES at sf0.01 — deleting them
 # forces every ranking to shift, so the tombstone path is non-vacuous.
 _DELETE_SRC_IDS = [149, 252, 292, 381]
@@ -1293,6 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new / touched this round --
         "knn_recall": _q_knn_recall,
         "dsir_weights": _q_dsir_weights,
+        "bm25_paged_nostem": _q_bm25_paged_nostem,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "lm_doc_scores": _q_lm_doc_scores,
         "dedup_clusters": _q_dedup_clusters,
@@ -1356,9 +1402,10 @@ _TOK2 = f"SELECT doc_id, term FROM ({_TOK}) WHERE term <> ''"
 
 
 def _bm25_sql(conjunctive: bool = False, exclude_ids: list[int] | None = None,
-              lang: str | None = None) -> str:
+              lang: str | None = None, rank_lo: int = 1, rank_hi: int = 10,
+              queries=None) -> str:
     vals = []
-    for q in _BM25_QUERIES:
+    for q in (queries if queries is not None else _BM25_QUERIES):
         seen = []
         for t in q["text"].split(" "):
             t = t.lower()
@@ -1407,7 +1454,7 @@ ranked AS (
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
-FROM ranked WHERE rank <= 10
+FROM ranked WHERE rank BETWEEN {rank_lo} AND {rank_hi}
 """
 
 
@@ -2310,6 +2357,10 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
             f"(SELECT doc_id, count(*) AS c FROM ({_TOK2}) GROUP BY doc_id)"
         ),
         "bm25_topk_nostem": _bm25_sql(),
+        # pagination: page 2 == the same ranking's ranks 11-20
+        "bm25_paged_nostem": _bm25_sql(
+            rank_lo=11, rank_hi=20, queries=_PAGED_QUERIES
+        ),
         "bm25_delete_nostem": _bm25_sql(exclude_ids=_DELETE_SRC_IDS),
         "bm25_incremental": _bm25_sql(),
         "bm25_lang_nostem": _bm25_sql(lang="en"),

@@ -360,6 +360,7 @@ class IndexReader:
         self, seg_id: int, text: str, k: int, mode: str = "auto",
         match: str = "any", filter_lang: str | None = None,
         scorer: str = "bm25", slop: int = 2,
+        after: "tuple[float, int] | None" = None,
     ) -> list[tuple[int, float]]:
         """Per-(query, segment) top-k -> [(doc_id, score)] best-first.
 
@@ -394,13 +395,14 @@ class IndexReader:
         tomb = self._seg_tombstones(seg_id, seg)
         if tomb:
             hits = self._score_segment_inner(
-                seg, text, k + len(tomb), mode, match, filter_lang, scorer, slop
+                seg, text, k + len(tomb), mode, match, filter_lang, scorer,
+                slop, after,
             )
             return [
                 (int(seg.doc_ids[o]), s) for o, s in hits if o not in tomb
             ][:k]
         hits = self._score_segment_inner(
-            seg, text, k, mode, match, filter_lang, scorer, slop
+            seg, text, k, mode, match, filter_lang, scorer, slop, after
         )
         return [(int(seg.doc_ids[o]), s) for o, s in hits]
 
@@ -415,8 +417,14 @@ class IndexReader:
     def _score_segment_inner(
         self, seg, text: str, k: int, mode: str, match: str,
         filter_lang: str | None = None, scorer: str = "bm25",
-        slop: int = 2,
+        slop: int = 2, after: "tuple[float, int] | None" = None,
     ) -> list[tuple[int, float]]:
+        if after is not None and (match != "any" or scorer != "bm25"):
+            raise ValueError(
+                "search_after pagination is supported for disjunctive "
+                f"BM25 queries (match='any'), not match={match!r}/"
+                f"scorer={scorer!r}"
+            )
         if scorer == "tfidf":
             # pluggable scorer kernel (SS2.10): classic TF-IDF,
             # disjunctive only, vectorized exhaustive path
@@ -446,6 +454,7 @@ class IndexReader:
             return wand.exhaustive_topk(
                 seg, qt, k, self.avg_doc_len,
                 exclude=self._lang_exclude(seg, filter_lang),
+                after=after,
             )
         if match == "bool":
             must_text, should_text, not_text = analysis.split_bool(text)
@@ -501,7 +510,15 @@ class IndexReader:
             qt = self.qterms(text)
             if not qt:
                 return []
-            if mode == "auto":
+            if after is not None:
+                # pagination forces the exhaustive kernel: the cursor
+                # filter must see final scores (WAND's theta pruning
+                # assumes the heap holds the GLOBAL best-so-far, which
+                # a cursor invalidates)
+                hits = wand.exhaustive_topk(
+                    seg, qt, k, self.avg_doc_len, after=after
+                )
+            elif mode == "auto":
                 hits = wand.auto_topk(seg, qt, k, self.avg_doc_len)
             elif mode == "wand":
                 hits = wand.wand_topk(seg, qt, k, self.avg_doc_len)
@@ -719,11 +736,18 @@ class IndexReader:
     def search(self, text: str, k: int = 10, mode: str = "auto",
                match: str = "any", filter_lang: str | None = None,
                scorer: str = "bm25", collapse: str | None = None,
-               slop: int = 2) -> list[dict]:
+               slop: int = 2,
+               after: "tuple[float, int] | None" = None) -> list[dict]:
         """Single-process search across all segments (serving / latency
         benchmarks; same kernels as the distributed path).  ``collapse``
         ('repo' | 'lang'): return at most one doc — the best — per
-        field value (Lucene field-collapsing semantics)."""
+        field value (Lucene field-collapsing semantics).
+
+        ``after``: search-after pagination cursor (score, doc_id) of
+        the previous page's LAST hit; the result is the next k docs in
+        global rank order — page N+1 of an infinite scroll, exact (no
+        over-fetch heuristics), deep-page cost independent of offset
+        (each segment still returns at most k candidates)."""
         cand: list[tuple[float, int, int]] = []  # (score, doc_id, seg_id)
         if collapse is not None:
             by_val: dict[str, tuple[float, int, int]] = {}
@@ -738,7 +762,8 @@ class IndexReader:
         else:
             for seg_id in range(len(self.segment_paths)):
                 for doc_id, score in self.score_segment(
-                    seg_id, text, k, mode, match, filter_lang, scorer, slop
+                    seg_id, text, k, mode, match, filter_lang, scorer, slop,
+                    after,
                 ):
                     cand.append((score, doc_id, seg_id))
             cand.sort(key=lambda c: (-c[0], c[1]))
@@ -783,10 +808,23 @@ class SegmentScorer:
         ks = batch.column("k").to_pylist()
         los = batch.column("seg_lo").to_pylist()
         his = batch.column("seg_hi").to_pylist()
+        names = batch.schema.names
+        if "after_score" in names and "after_doc" in names:
+            afters = [
+                None if s is None else (float(s), int(d))
+                for s, d in zip(
+                    batch.column("after_score").to_pylist(),
+                    batch.column("after_doc").to_pylist(),
+                )
+            ]
+        else:
+            afters = [None] * len(qids)
         o_qid, o_k, o_did, o_score, o_repo, o_path = [], [], [], [], [], []
         o_ckey: list[str] = []
         rd = self.reader
-        for qid, text, k, lo, hi in zip(qids, texts, ks, los, his):
+        for qid, text, k, lo, hi, after in zip(
+            qids, texts, ks, los, his, afters
+        ):
           for seg_id in range(lo, hi):
             seg = rd.segment(seg_id)
             if self.sort_by_path:
@@ -804,7 +842,7 @@ class SegmentScorer:
                     (did, score, None)
                     for did, score in rd.score_segment(
                         seg_id, text, k, self.mode, self.match,
-                        self.filter_lang, self.scorer, self.slop,
+                        self.filter_lang, self.scorer, self.slop, after,
                     )
                 ]
             for doc_id, score, ckey in hits3:
@@ -941,6 +979,13 @@ def run_queries(
                 "query_id": int(q["query_id"]),
                 "text": q["text"],
                 "k": int(q.get("k", 10)),
+                # search-after pagination cursor (optional per query)
+                "after_score": (
+                    None if q.get("after") is None else float(q["after"][0])
+                ),
+                "after_doc": (
+                    None if q.get("after") is None else int(q["after"][1])
+                ),
             }
             for q in queries
         ]
@@ -956,6 +1001,8 @@ def run_queries(
                 "query_id": row["query_id"],
                 "text": row["text"],
                 "k": row["k"],
+                "after_score": row.get("after_score"),
+                "after_doc": row.get("after_doc"),
                 "seg_lo": lo,
                 "seg_hi": min(lo + segs_per_task, n_segs),
             }

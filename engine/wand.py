@@ -393,14 +393,22 @@ def auto_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
 
 def exhaustive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
                     avg_doc_len: float,
-                    exclude: "np.ndarray | None" = None) -> list[tuple[int, float]]:
+                    exclude: "np.ndarray | None" = None,
+                    after: "tuple[float, int] | None" = None,
+                    ) -> list[tuple[int, float]]:
     """Q4 in-segment: vectorized disjunctive scoring of every matching
     doc; numpy elementwise ops mirror bm25.tf_part's scalar op order
     exactly, and per-doc accumulation happens in query-term order, so
     scores are bit-identical to the scalar paths.
 
     ``exclude``: doc OFFSETS (segment-local) to drop from candidacy
-    BEFORE the top-k cut (boolean NOT support), so ranks stay exact."""
+    BEFORE the top-k cut (boolean NOT support), so ranks stay exact.
+
+    ``after``: search-after pagination cursor (score, GLOBAL doc_id) —
+    only docs strictly AFTER the cursor in (score desc, doc_id asc)
+    rank order remain candidates, so page N+1 continues exactly where
+    page N stopped.  Scores are deterministic float64, so the equality
+    comparison at the cursor's score is exact."""
     n = seg.num_docs
     if n == 0:
         return []
@@ -426,6 +434,14 @@ def exhaustive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
     if cand.size == 0:
         return []
     sc = scores[cand]
+    if after is not None:
+        s_a, d_a = float(after[0]), int(after[1])
+        gids = seg.doc_ids[cand]
+        keep = (sc < s_a) | ((sc == s_a) & (gids > d_a))
+        cand = cand[keep]
+        sc = sc[keep]
+        if cand.size == 0:
+            return []
     if k > 0 and cand.size > 4 * k:
         # exact pre-selection: keep every candidate scoring >= the k-th
         # largest (ties INCLUDED, so the doc_id tie-break below still

@@ -58,3 +58,50 @@ def test_empty_and_oov_queries(built_index):
     rd = IndexReader(built_index["out"])
     assert rd.search("zzzznotfound", 10) == []
     assert rd.search("", 10) == []
+
+
+def test_search_after_pagination(built_index):
+    """search_after: paging with the (score, doc_id) cursor reproduces
+    the single-shot top-3k exactly — single-process AND distributed —
+    and the final page is short/empty when results run out."""
+    rd = IndexReader(built_index["out"])
+    queries = built_index["queries"][:6]
+    for q in queries:
+        full = rd.search(q["text"], 30)
+        if not full:
+            continue
+        pages = []
+        after = None
+        for _ in range(3):
+            page = rd.search(q["text"], 10, after=after)
+            if not page:
+                break
+            pages.extend(page)
+            after = (page[-1]["score"], page[-1]["doc_id"])
+        assert [(p["doc_id"], p["score"]) for p in pages] == [
+            (p["doc_id"], p["score"]) for p in full
+        ]
+        # cursor past the end -> empty page, no crash
+        if len(full) < 30:
+            assert rd.search(q["text"], 10, after=after) == []
+
+    # distributed path: page 2 via run_queries equals ranks 11-20
+    q = queries[0]
+    full = rd.search(q["text"], 20)
+    assert len(full) == 20
+    after = (full[9]["score"], full[9]["doc_id"])
+    rows = run_queries(
+        built_index["out"],
+        [{"query_id": 7, "text": q["text"], "k": 10, "after": after}],
+        concurrency=(1, 2),
+    ).take_all()
+    rows.sort(key=lambda r: r["rank"])
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (p["doc_id"], p["score"]) for p in full[10:20]
+    ]
+
+    # unsupported combination is an explicit error
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rd.search(q["text"], 10, match="all", after=after)
