@@ -138,7 +138,14 @@ def _merge_stage(out_dir: str, analyzer: str, run_summary, remaining,
     """Stage 2: merge+write tasks; each task handles a RANGE of
     partitions so every run file is opened (footer-parsed) once per
     task, not once per partition — per-part opens made the exchange
-    O(P x files) in metadata work and dominated low-parallelism runs."""
+    O(P x files) in metadata work and dominated low-parallelism runs.
+
+    Memory bound: a merge task materializes its whole CHUNK of
+    partitions at once (load_run_parts), i.e. ~P/merge_tasks segments'
+    analyzed rows.  With merge_tasks defaulting to 4 x CPUs and P
+    sized so one segment's postings fit a worker (SURVEY §4.2), the
+    per-task working set is a few segments — bounded by configuration;
+    shrink merge_tasks only together with merge_num_cpus."""
     refs_by_part: dict[int, list[tuple[str, int]]] = {p: [] for p in remaining}
     for r in run_summary:
         part = int(r["part"])

@@ -803,29 +803,21 @@ class SegmentScorer:
         self.sort_by_path = sort_by_path
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        qids = batch.column("query_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        ks = batch.column("k").to_pylist()
-        los = batch.column("seg_lo").to_pylist()
-        his = batch.column("seg_hi").to_pylist()
-        names = batch.schema.names
-        if "after_score" in names and "after_doc" in names:
-            afters = [
-                None if s is None else (float(s), int(d))
-                for s, d in zip(
-                    batch.column("after_score").to_pylist(),
-                    batch.column("after_doc").to_pylist(),
-                )
-            ]
-        else:
-            afters = [None] * len(qids)
+        rows = batch.to_pylist()  # few work items; inner loops dominate
         o_qid, o_k, o_did, o_score, o_repo, o_path = [], [], [], [], [], []
         o_ckey: list[str] = []
         rd = self.reader
-        for qid, text, k, lo, hi, after in zip(
-            qids, texts, ks, los, his, afters
-        ):
+        for row in rows:
+          lo, hi = int(row["seg_lo"]), int(row["seg_hi"])
+          qids = row["query_ids"]
+          texts = row["texts"]
+          ks = row["ks"]
+          a_s = row.get("after_scores") or [None] * len(qids)
+          a_d = row.get("after_docs") or [None] * len(qids)
+          # SEGMENT-major: open each segment once for the whole block
           for seg_id in range(lo, hi):
+           for qid, text, k, asc, adc in zip(qids, texts, ks, a_s, a_d):
+            after = None if asc is None else (float(asc), int(adc))
             seg = rd.segment(seg_id)
             if self.sort_by_path:
                 hits3 = [
@@ -994,22 +986,53 @@ def run_queries(
         queries = ray.data.from_items(qlist)
 
     segs_per_task = max(1, min(8, n_segs))
+    ranges = [
+        (lo, min(lo + segs_per_task, n_segs))
+        for lo in range(0, n_segs, segs_per_task)
+    ]
 
-    def cross(row: dict) -> list[dict]:
-        return [
+    if 0 < n_queries_hint <= 256:
+        # RANGE-MAJOR work items: one item per segment range carrying
+        # the whole bounded query block, so the scorer loops
+        # segment-major and each segment is opened ONCE per item.  The
+        # query-major shape opened each segment once PER QUERY — with
+        # hundreds of segments and the reader's LRU-bounded open set,
+        # reopen cost dominated deep-index latency (measured ~13 ms
+        # per reopen at 15k docs/segment; a 625-segment index spent
+        # seconds per query just reopening).
+        items = [
             {
-                "query_id": row["query_id"],
-                "text": row["text"],
-                "k": row["k"],
-                "after_score": row.get("after_score"),
-                "after_doc": row.get("after_doc"),
                 "seg_lo": lo,
-                "seg_hi": min(lo + segs_per_task, n_segs),
+                "seg_hi": hi,
+                "query_ids": [q["query_id"] for q in qlist],
+                "texts": [q["text"] for q in qlist],
+                "ks": [q["k"] for q in qlist],
+                "after_scores": [q["after_score"] for q in qlist],
+                "after_docs": [q["after_doc"] for q in qlist],
             }
-            for lo in range(0, n_segs, segs_per_task)
+            for lo, hi in ranges
         ]
+        work = ray.data.from_items(items)
+    else:
+        # unbounded / large query streams: per-query rows (the block
+        # embedding above would duplicate the query set per range)
+        def cross(row: dict) -> list[dict]:
+            return [
+                {
+                    "seg_lo": lo,
+                    "seg_hi": hi,
+                    "query_ids": [row["query_id"]],
+                    "texts": [row["text"]],
+                    "ks": [row["k"]],
+                    "after_scores": [row.get("after_score")],
+                    "after_docs": [row.get("after_doc")],
+                }
+                for lo, hi in ranges
+            ]
 
-    scored = queries.flat_map(cross).map_batches(
+        work = queries.flat_map(cross)
+
+    scored = work.map_batches(
         SegmentScorer,
         fn_constructor_kwargs={
             "index_dir": index_dir, "mode": mode, "match": match,
@@ -1071,14 +1094,28 @@ def latency_profile(
     index_dir: str, queries: list[dict], mode: str = "auto",
     min_executions: int = 1000, max_seconds: float = 60.0,
     match: str = "any", scorer: str = "bm25", slop: int = 2,
+    max_open_segments: int | None = None,
 ) -> dict:
     """p50/p99 per-query latency on a WARM reader (BASELINE.md metric):
     repeats the query set until >= min_executions or ``max_seconds`` of
     measured wall time (whichever first — large synthetic corpora have
     multi-second per-query latencies where 200 executions would take
     many minutes for the same percentiles), single process, same
-    kernels as the actor path."""
-    rd = IndexReader(index_dir)
+    kernels as the actor path.
+
+    ``max_open_segments``: defaults to holding EVERY segment open —
+    this is the warm profile; a single process scanning hundreds of
+    segments through the serving default's LRU bound measures reopen
+    I/O, not scoring (the distributed path amortizes opens via
+    range-major work items instead)."""
+    n_segs = len(list_segments(index_dir))
+    rd = IndexReader(
+        index_dir,
+        max_open_segments=(
+            max_open_segments if max_open_segments is not None
+            else max(64, n_segs)
+        ),
+    )
     for q in queries:  # warm every segment + dictionary path
         rd.search(q["text"], int(q.get("k", 10)), mode, match, slop=slop,
                   scorer=scorer)

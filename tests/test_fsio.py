@@ -122,3 +122,34 @@ def test_uncommitted_segment_cleared_on_resume(ray_session, tmp_path):
     os.unlink(os.path.join(out, "collection_stats.json"))
     _build(out, resume=True)
     assert _postings_shas(out) == shas
+
+
+def test_add_and_merge_on_uri_roots(ray_session, tmp_path):
+    """Incremental adds and no-reanalysis index merges also hold on URI
+    roots: byte-identity with their plain-local counterparts."""
+    import ray.data
+
+    from engine.build import add_documents, merge_indexes
+    from engine.corpus import read_corpus_from_documents
+
+    half_a = read_corpus_from_documents(SF, langs=["en", "es", "de"])
+    half_b = read_corpus_from_documents(SF, langs=["fr", "zh"])
+
+    def build_pair(root: str) -> None:
+        from engine.build import build_index
+
+        build_index(half_a, f"{root}/a", num_parts=4, analyzer="code",
+                    analyzer_concurrency=(1, 3))
+        add_documents(f"{root}/a", half_b, num_parts=3,
+                      analyzer_concurrency=(1, 3))
+        build_index(half_b, f"{root}/b", num_parts=4, analyzer="code",
+                    analyzer_concurrency=(1, 3))
+        merge_indexes([f"{root}/a", f"{root}/b"], f"{root}/m", num_parts=5)
+
+    build_pair(str(tmp_path / "loc"))
+    build_pair(f"file://{tmp_path}/uri")
+
+    for sub in ("a", "m"):
+        loc = _postings_shas(str(tmp_path / "loc" / sub))
+        uri = _postings_shas(str(tmp_path / "uri" / sub))
+        assert loc == uri and loc, sub
