@@ -2260,7 +2260,8 @@ WHERE b.rn = 1
 # Shared CTE chain computing the complete (doc_id, simhash) table in
 # pure SQL: tokenize exactly like engine.dedup._tokens (lower + split
 # on single space, empties dropped), FNV-1a-64 each occurrence's token
-# over its UTF-8 codepoints (== bytes for this ASCII corpus) with
+# over its UTF-8 BYTES (hex(encode()) nibble decode — exact for
+# non-ASCII tokens, matching engine.functions.fnv1a64_arr) with
 # HUGEINT arithmetic so the mod-2^64 multiply never overflows, then
 # tf-weighted +/-1 votes per bit and sign accumulation.  `fp` keeps a
 # row for EVERY document (token-less docs get simhash 0, matching the
@@ -2274,10 +2275,12 @@ hashed AS (
   SELECT doc_id,
     CAST(list_reduce(
       list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS HUGEINT))),
+        list_transform(range(1, length(hx)//2 + 1), i ->
+          CAST(strpos('123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+             + strpos('123456789ABCDEF', substr(hx, 2*i, 1)) AS HUGEINT))),
       (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616
     ) AS UBIGINT) AS h
-  FROM toks
+  FROM (SELECT doc_id, t, hex(encode(t)) AS hx FROM toks)
 ),
 votes AS (
   SELECT doc_id, bits.b AS bit,
@@ -2811,9 +2814,10 @@ FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
         # DSIR importance weights: hashed-gram bucket models replayed
-        # exactly — FNV-1a-64 over DISTINCT grams (ASCII, so unicode()
-        # == utf-8 byte), Laplace-smoothed ln ratios quantized to
-        # integer micros, per-doc integer sums
+        # exactly — FNV-1a-64 over the UTF-8 BYTES of DISTINCT grams
+        # (hex(encode()) nibble decode, exact for non-ASCII text too),
+        # Laplace-smoothed ln ratios quantized to integer micros,
+        # per-doc integer sums
         "dsir_weights": """
 WITH docs AS (
   SELECT doc_id, lang,
@@ -2831,10 +2835,12 @@ gh AS (
   SELECT g,
     CAST(list_reduce(
       list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        list_transform(range(1, length(g)+1), i -> CAST(unicode(g[i]) AS HUGEINT))),
+        list_transform(range(1, length(hx)//2 + 1), i ->
+          CAST(strpos('123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+             + strpos('123456789ABCDEF', substr(hx, 2*i, 1)) AS HUGEINT))),
       (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616
     ) AS UBIGINT) % 4096 AS bucket
-  FROM (SELECT DISTINCT g FROM grams)
+  FROM (SELECT g, hex(encode(g)) AS hx FROM (SELECT DISTINCT g FROM grams))
 ),
 bc AS (
   SELECT bucket, count(*) AS c_all,

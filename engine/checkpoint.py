@@ -82,12 +82,12 @@ def read_build_manifest(out_dir: str) -> dict:
 def _segment_manifest(seg_path: str) -> dict | None:
     """The segment's manifest, or None when absent/torn (= uncommitted;
     a torn manifest can only result from an interrupted attempt, and
-    treating it as uncommitted makes resume rebuild the segment)."""
-    p = fsio.join(seg_path, "manifest.json")
-    try:
-        return fsio.read_json(p)
-    except (FileNotFoundError, OSError, ValueError):
-        return None
+    treating it as uncommitted makes resume rebuild the segment).
+    Delegates to segments.segment_manifest — the single commit
+    predicate shared with readers (list_segments)."""
+    from .segments import segment_manifest
+
+    return segment_manifest(seg_path)
 
 
 def completed_parts(out_dir: str) -> set[int]:

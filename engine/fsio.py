@@ -69,6 +69,27 @@ def exists(path: str) -> bool:
     return fs.get_file_info(p).type != pafs.FileType.NotFound
 
 
+def file_size(path: str) -> int:
+    """Size in bytes of an existing file, -1 when absent."""
+    fs, p = resolve(path)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        return -1
+    return info.size
+
+
+def _complete(path: str, expected_size: int) -> bool:
+    """True iff ``path`` exists AND its byte length matches.  The
+    write-once skip must never trust bare existence on filesystems
+    where writes are not atomic per key (local paths, ``file://``
+    URIs, FORCE_NO_RENAME): a task that crashed mid-write leaves a
+    torn file that a retry would otherwise skip and then commit via
+    the manifest marker.  Content is deterministic, so length equality
+    is the cheap sufficient completeness check — a short/torn file is
+    simply rewritten (idempotent overwrite)."""
+    return file_size(path) == expected_size
+
+
 def makedirs(path: str) -> None:
     fs, p = resolve(path)
     fs.create_dir(p, recursive=True)
@@ -110,6 +131,11 @@ def write_bytes(path: str, data: bytes) -> None:
             os.rename(tmp, p)
         except OSError:
             os.unlink(tmp)
+            # The only benign rename failure is losing a race to an
+            # identical writer (bytes are deterministic); anything
+            # else must surface, not silently drop the file.
+            if not os.path.exists(p):
+                raise
         return
     fs.create_dir(posixpath.dirname(p), recursive=True)
     with fs.open_output_stream(p) as f:
@@ -120,7 +146,7 @@ def write_chunks(path: str, chunks: list[bytes], once: bool = False) -> None:
     """Like write_bytes but streams several chunks without
     concatenating them (large postings sections)."""
     fs, p = resolve(path)
-    if once and exists(path):
+    if once and _complete(path, sum(len(c) for c in chunks)):
         return
     if _local_fast(path):
         os.makedirs(os.path.dirname(p), exist_ok=True)
@@ -132,6 +158,8 @@ def write_chunks(path: str, chunks: list[bytes], once: bool = False) -> None:
             os.rename(tmp, p)
         except OSError:
             os.unlink(tmp)
+            if not os.path.exists(p):
+                raise
         return
     fs.create_dir(posixpath.dirname(p), recursive=True)
     with fs.open_output_stream(p) as f:
@@ -140,9 +168,11 @@ def write_chunks(path: str, chunks: list[bytes], once: bool = False) -> None:
 
 
 def write_bytes_once(path: str, data: bytes) -> None:
-    """Write-once commit for content-addressed files: skip when the key
-    already exists (a retry's bytes are identical by construction)."""
-    if exists(path):
+    """Write-once commit for content-addressed files: skip only when
+    the key already exists COMPLETE (length check, see _complete);
+    a retry's bytes are identical by construction so a torn file is
+    safely overwritten."""
+    if _complete(path, len(data)):
         return
     write_bytes(path, data)
 
@@ -195,11 +225,14 @@ def write_parquet(table: pa.Table, path: str, once: bool = False, **kwargs) -> N
 
     import pyarrow.parquet as pq
 
-    if once and exists(path):
-        return
     buf = io.BytesIO()
     pq.write_table(table, buf, **kwargs)
-    write_bytes(path, buf.getvalue())
+    data = buf.getvalue()
+    # Serialize BEFORE the skip check so completeness can be verified
+    # by length, not bare existence (torn-file retry safety).
+    if once and _complete(path, len(data)):
+        return
+    write_bytes(path, data)
 
 
 def parquet_file(path: str):

@@ -748,6 +748,13 @@ class IndexReader:
         global rank order — page N+1 of an infinite scroll, exact (no
         over-fetch heuristics), deep-page cost independent of offset
         (each segment still returns at most k candidates)."""
+        if after is not None and collapse is not None:
+            # Matches _score_segment_inner's unsupported-combination
+            # check: the collapse branch cannot honor the cursor, and
+            # silently returning page 1 labeled page 2 is worse.
+            raise ValueError(
+                "search_after pagination is not supported with collapse"
+            )
         cand: list[tuple[float, int, int]] = []  # (score, doc_id, seg_id)
         if collapse is not None:
             by_val: dict[str, tuple[float, int, int]] = {}
@@ -818,6 +825,11 @@ class SegmentScorer:
           for seg_id in range(lo, hi):
            for qid, text, k, asc, adc in zip(qids, texts, ks, a_s, a_d):
             after = None if asc is None else (float(asc), int(adc))
+            if after is not None and (self.sort_by_path or self.collapse):
+                raise ValueError(
+                    "search_after pagination is not supported with "
+                    "collapse or sort_by_path"
+                )
             seg = rd.segment(seg_id)
             if self.sort_by_path:
                 hits3 = [

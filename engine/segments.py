@@ -712,6 +712,18 @@ def _list_col(t: pa.Table, name: str) -> list[np.ndarray]:
     return [flat[bounds[i] : bounds[i + 1]] for i in range(len(lens))]
 
 
+def segment_manifest(seg_path: str) -> dict | None:
+    """The ONE commit predicate: a segment is committed iff its
+    manifest.json exists AND parses.  Shared by readers (list_segments)
+    and resume (engine.checkpoint) so a manifest torn by a crash
+    mid-write on a URI root is 'uncommitted' to BOTH sides — never
+    live to readers while invisible to resume."""
+    try:
+        return fsio.read_json(fsio.join(seg_path, "manifest.json"))
+    except (FileNotFoundError, OSError, ValueError):
+        return None
+
+
 def list_segments(out_dir: str) -> list[str]:
     root = fsio.join(out_dir, "segments")
     return sorted(
@@ -719,5 +731,5 @@ def list_segments(out_dir: str) -> list[str]:
         for d in fsio.listdir(root)
         if d.startswith(SEG_PREFIX)
         and not ".tmp-" in d
-        and fsio.exists(fsio.join(root, d, "manifest.json"))
+        and segment_manifest(fsio.join(root, d)) is not None
     )

@@ -53,7 +53,9 @@ def test_fsio_writers_never_rename_on_uri_paths(tmp_path, monkeypatch):
     fsio.makedirs(root)
     fsio.write_bytes(fsio.join(root, "a.bin"), b"hello")
     fsio.write_chunks(fsio.join(root, "b.bin"), [b"he", b"llo"], once=True)
-    fsio.write_bytes_once(fsio.join(root, "a.bin"), b"ignored")  # exists -> skip
+    # complete key (length matches) -> skip; write-once callers only
+    # ever retry identical bytes, so equal length == complete
+    fsio.write_bytes_once(fsio.join(root, "a.bin"), b"hello")
     fsio.write_json(fsio.join(root, "m.json"), {"k": 1})
     fsio.write_parquet(pa.table({"x": [1, 2]}), fsio.join(root, "t.parquet"))
     assert fsio.read_bytes(fsio.join(root, "a.bin")) == b"hello"
@@ -153,3 +155,179 @@ def test_add_and_merge_on_uri_roots(ray_session, tmp_path):
         loc = _postings_shas(str(tmp_path / "loc" / sub))
         uri = _postings_shas(str(tmp_path / "uri" / sub))
         assert loc == uri and loc, sub
+
+
+def _tiny_analyzed(part: int = 0):
+    """A minimal ANALYZED_DOC table for direct build_segment calls."""
+    import pyarrow as pa
+
+    from engine.postings import ANALYZED_DOC
+
+    rows = []
+    for i, toks in enumerate([["alpha", "beta"], ["beta", "gamma", "beta"]]):
+        tf: dict[str, int] = {}
+        pos: dict[str, list[int]] = {}
+        for p, t in enumerate(toks):
+            tf[t] = tf.get(t, 0) + 1
+            pos.setdefault(t, []).append(p)
+        terms = sorted(tf)
+        rows.append(
+            {
+                "doc_id": 8 * i + part,
+                "part": part,
+                "doc_len": len(toks),
+                "terms": terms,
+                "tfs": [tf[t] for t in terms],
+                "poslists": [pos[t] for t in terms],
+                "repo": "r",
+                "path": f"p{i}",
+                "commit": "c",
+                "lang": "py",
+                "content_sha256": f"s{i}",
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=ANALYZED_DOC)
+
+
+def test_write_once_torn_file_rewritten(tmp_path, monkeypatch):
+    """ADVICE r03 (high): on non-atomic filesystems the write-once skip
+    must not trust bare existence — a retry after a crash mid-write
+    (torn file present, shorter than the deterministic content) has to
+    REWRITE, not skip-and-commit a corrupt file."""
+    monkeypatch.setattr(fsio, "FORCE_NO_RENAME", True)
+    root = str(tmp_path / "x")
+    fsio.makedirs(root)
+    full = b"0123456789" * 100
+
+    # torn single-file write-once
+    p = fsio.join(root, "a.bin")
+    with open(p, "wb") as f:
+        f.write(full[:137])  # crash mid-write
+    fsio.write_bytes_once(p, full)
+    assert fsio.read_bytes(p) == full
+
+    # torn chunked write-once (postings.bin path)
+    p2 = fsio.join(root, "b.bin")
+    with open(p2, "wb") as f:
+        f.write(full[:37])
+    fsio.write_chunks(p2, [full[:500], full[500:]], once=True)
+    assert fsio.read_bytes(p2) == full
+
+    # torn parquet write-once
+    import pyarrow as pa
+
+    t = pa.table({"x": list(range(1000))})
+    p3 = fsio.join(root, "t.parquet")
+    with open(p3, "wb") as f:
+        f.write(b"PAR1 torn")
+    fsio.write_parquet(t, p3, once=True)
+    assert fsio.read_parquet(p3).equals(t)
+    # and a complete key really is skipped (mtime unchanged)
+    before = os.stat(p3).st_mtime_ns
+    fsio.write_parquet(t, p3, once=True)
+    assert os.stat(p3).st_mtime_ns == before
+
+
+def test_torn_segment_file_rewritten_on_retry(tmp_path, monkeypatch):
+    """A build_segment RETRY after a crash that left a torn
+    postings.bin (no manifest yet) must produce a byte-identical
+    committed segment — the in-run retry path that clear_uncommitted
+    (resume-time only) does not cover."""
+    import shutil
+
+    from engine.segments import Segment, build_segment, segment_manifest
+
+    monkeypatch.setattr(fsio, "FORCE_NO_RENAME", True)
+    table = _tiny_analyzed()
+
+    ref = str(tmp_path / "ref")
+    build_segment(table, ref, 0, "test")
+    with open(os.path.join(ref, "segments", "seg-00000", "postings.bin"), "rb") as f:
+        ref_bytes = f.read()
+
+    out = str(tmp_path / "out")
+    build_segment(table, out, 0, "test")
+    seg = os.path.join(out, "segments", "seg-00000")
+    # simulate the crash: truncate postings.bin, drop the commit marker
+    with open(os.path.join(seg, "postings.bin"), "wb") as f:
+        f.write(ref_bytes[: max(1, len(ref_bytes) // 3)])
+    os.unlink(os.path.join(seg, "manifest.json"))
+    # the raw retry (no clear_uncommitted) must rewrite the torn file
+    build_segment(table, out, 0, "test")
+    with open(os.path.join(seg, "postings.bin"), "rb") as f:
+        assert f.read() == ref_bytes
+    assert segment_manifest(seg) is not None
+    # and the segment actually serves
+    assert "beta" in Segment(seg).term_idx
+
+
+def test_racing_writers_byte_identical(tmp_path, monkeypatch):
+    """VERDICT r03 task #6: two writers racing the same
+    content-addressed keys and the same segment (manifest-last) under
+    the no-rename protocol must leave byte-identical committed state —
+    deterministic bytes make concurrent overwrite idempotent."""
+    import threading
+
+    from engine.segments import build_segment, segment_manifest
+
+    monkeypatch.setattr(fsio, "FORCE_NO_RENAME", True)
+    table = _tiny_analyzed()
+
+    ref = str(tmp_path / "ref")
+    build_segment(table, ref, 0, "test")
+
+    def seg_files(root):
+        seg = os.path.join(root, "segments", "seg-00000")
+        out = {}
+        for name in sorted(os.listdir(seg)):
+            if name == "manifest.json":
+                # manifest carries wall-clock build_seconds; compare
+                # its semantic content instead of raw bytes
+                m = dict(segment_manifest(seg))
+                m.pop("build_seconds", None)
+                out[name] = m
+                continue
+            with open(os.path.join(seg, name), "rb") as f:
+                out[name] = hashlib.sha256(f.read()).hexdigest()
+        return out
+
+    ref_state = seg_files(ref)
+
+    for _ in range(5):  # repeat to exercise different interleavings
+        out = str(tmp_path / "race")
+        if os.path.exists(out):
+            import shutil
+
+            shutil.rmtree(out)
+        errs: list[BaseException] = []
+
+        def writer():
+            try:
+                build_segment(table, out, 0, "test")
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=writer) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        assert seg_files(out) == ref_state
+        assert segment_manifest(os.path.join(out, "segments", "seg-00000"))
+
+    # raw fsio-level race on one content-addressed key
+    data = os.urandom(1 << 16)
+    key = fsio.join(str(tmp_path / "x"), "runs", "blob.bin")
+    for _ in range(5):
+        if fsio.exists(key):
+            os.unlink(key)
+        threads = [
+            threading.Thread(target=fsio.write_bytes_once, args=(key, data))
+            for _ in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert fsio.read_bytes(key) == data
