@@ -1168,6 +1168,14 @@ def _q_hll_distinct(sf_dir: str):
     return sketches.hll_distinct_terms(sf_dir)
 
 
+def _q_hll_recall(sf_dir: str):
+    """Bounds oracle for the HLL estimate: (exact_distinct, precision,
+    within_bound) — engine.sketches.hll_recall."""
+    from engine import sketches
+
+    return sketches.hll_recall(sf_dir)
+
+
 def _q_cms_heavy_hitters(sf_dir: str):
     from engine import sketches
 
@@ -1297,67 +1305,15 @@ def _q_sessionize(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries.  Rotation policy (VERDICT r02 task #2): entries that have
-    # never been driver-verified lead, then entries verified only in r1,
-    # then everything touched this round, then a representative slice of
-    # the proven families; the long-green remainder follows.
+    # entries.  Rotation policy (VERDICT r02 task #2, rotated per
+    # VERDICT r03 task #1): the 34 entries whose last driver record is
+    # r1/r2 (the query-mode family, spell/facets/rank, embedding dedup,
+    # relational trio, text stats) LEAD this round's window so their
+    # evidence refreshes; then everything new/touched in r4 plus a
+    # representative slice of the core invariants; the r3-hash-green
+    # remainder follows.
     return {
-        # -- never driver-verified (r1 ∪ r2) --
-        "snippets": _q_snippets,
-        "stratified_sample": _q_stratified_sample,
-        "decontaminate": _q_decontaminate,
-        "corpus_prep": _q_corpus_prep,
-        "split_corpus": _q_split_corpus,
-        "corpus_mixture": _q_corpus_mixture,
-        "bigram_pmi": _q_bigram_pmi,
-        "epoch_shuffle": _q_epoch_shuffle,
-        "partitioned_write": _q_partitioned_write,
-        "asof_join_events": _q_asof_join_events,
-        "range_join_orders": _q_range_join_orders,
-        "distinct_users_per_event_type": _q_distinct_users_per_event_type,
-        "customers_without_orders": _q_customers_without_orders,
-        "json_field_stats": _q_json_field_stats,
-        "chunk_documents": _q_chunk_documents,
-        "pack_sequences": _q_pack_sequences,
-        # -- verified in r1 only --
-        "quality_scores": _q_quality_scores,
-        "language_id": _q_language_id,
-        "fingerprint_md5": _q_fingerprint_md5,
-        "media_decode": _q_media_decode,
-        "more_like_this": _q_more_like_this,
-        "hll_distinct_terms": _q_hll_distinct,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "bottomk_sample": _q_bottomk_sample,
-        "quantiles_lineitem": _q_quantiles,
-        "broadcast_join_suppliers": _q_broadcast_join,
-        "top_orders_per_customer": _q_top_orders_per_customer,
-        "simhash_dup_pairs": _q_simhash_pairs,
-        "window_tumbling": _q_window_tumbling,
-        "window_sliding": _q_window_sliding,
-        "sessionize": _q_sessionize,
-        # -- new / touched this round --
-        "knn_recall": _q_knn_recall,
-        "dsir_weights": _q_dsir_weights,
-        "bm25_paged_nostem": _q_bm25_paged_nostem,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "lm_doc_scores": _q_lm_doc_scores,
-        "dedup_clusters": _q_dedup_clusters,
-        "minhash_lsh_pairs": _q_minhash_pairs,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "knn_bruteforce": _q_knn_bruteforce,
-        "knn_lsh": _q_knn_lsh,
-        "knn_ivf": _q_knn_ivf,
-        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
-        "hybrid_search": _q_hybrid_search,
-        # -- representative proven slice (keeps the core families in
-        #    every round's window) --
-        "collection_stats": _q_collection_stats,
-        "bm25_topk_nostem": _q_bm25_topk_nostem,
-        "bm25_incremental": _q_bm25_incremental,
-        "bm25_federated": _q_bm25_federated,
-        "export_postings": _q_export_postings,
-        "verify_invariant": _q_verify_invariant,
-        # ---- driver window (50) ends around here ----
+        # -- stale evidence: last driver-verified in r1/r2 --
         "term_df": _q_term_df,
         "spell_suggest": _q_spell_suggest,
         "doc_lengths": _q_doc_lengths,
@@ -1392,6 +1348,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_corrected_nostem": _q_bm25_corrected_nostem,
         "facet_counts": _q_facet_counts,
         "rank_documents": _q_rank_documents,
+        # -- new / touched this round (r4) --
+        "hll_recall": _q_hll_recall,
+        "corpus_prep": _q_corpus_prep,
+        "decontaminate": _q_decontaminate,
+        "dsir_weights": _q_dsir_weights,
+        "bm25_paged_nostem": _q_bm25_paged_nostem,
+        "bm25_federated": _q_bm25_federated,
+        "bm25_incremental": _q_bm25_incremental,
+        # -- representative proven slice (keeps the core families in
+        #    every round's window) --
+        "bm25_topk_nostem": _q_bm25_topk_nostem,
+        "collection_stats": _q_collection_stats,
+        "export_postings": _q_export_postings,
+        "verify_invariant": _q_verify_invariant,
+        "knn_recall": _q_knn_recall,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "dedup_clusters": _q_dedup_clusters,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "hybrid_search": _q_hybrid_search,
+        # ---- driver window (50) ends here ----
+        "snippets": _q_snippets,
+        "stratified_sample": _q_stratified_sample,
+        "split_corpus": _q_split_corpus,
+        "corpus_mixture": _q_corpus_mixture,
+        "bigram_pmi": _q_bigram_pmi,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "partitioned_write": _q_partitioned_write,
+        "asof_join_events": _q_asof_join_events,
+        "range_join_orders": _q_range_join_orders,
+        "distinct_users_per_event_type": _q_distinct_users_per_event_type,
+        "customers_without_orders": _q_customers_without_orders,
+        "json_field_stats": _q_json_field_stats,
+        "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
+        "quality_scores": _q_quality_scores,
+        "language_id": _q_language_id,
+        "fingerprint_md5": _q_fingerprint_md5,
+        "media_decode": _q_media_decode,
+        "more_like_this": _q_more_like_this,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "bottomk_sample": _q_bottomk_sample,
+        "quantiles_lineitem": _q_quantiles,
+        "broadcast_join_suppliers": _q_broadcast_join,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "simhash_dup_pairs": _q_simhash_pairs,
+        "window_tumbling": _q_window_tumbling,
+        "window_sliding": _q_window_sliding,
+        "sessionize": _q_sessionize,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "lm_doc_scores": _q_lm_doc_scores,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
+        "hll_distinct_terms": _q_hll_distinct,
     }
 
 
@@ -3106,10 +3117,17 @@ SELECT user_id, CAST(min(t) AS BIGINT) AS session_start_us,
        count(*) AS n_events, CAST(max(t) - min(t) AS BIGINT) AS duration_us
 FROM s GROUP BY user_id, sid
 """,
-        # simhash_fingerprints / simhash_dup_pairs (64-bit FNV bit
-        # arithmetic) and hll_distinct_terms (register estimate): not
-        # SQL-expressible — rows-only driver check + pytest oracles
-        # (tests/test_dedup.py, tests/test_sketches.py).
+        # HLL bounds oracle (knn_recall pattern): DuckDB recomputes the
+        # exact distinct-term count; within_bound is the constant 1 on
+        # the SQL side, so an estimator regression hash-mismatches.
+        # hll_distinct_terms itself (the raw register estimate) stays
+        # rows-only — the estimate is pinned by THIS entry instead.
+        "hll_recall": f"""
+SELECT CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct,
+       CAST(12 AS INTEGER) AS precision,
+       CAST(1 AS INTEGER) AS within_bound
+FROM ({_TOK2})
+""",
     }
     # minhash_lsh_pairs exact-verifies its candidates, and the banding
     # recall is exactly 1.0 at sf0.01 (deterministic hashes; soundness +

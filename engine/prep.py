@@ -24,12 +24,16 @@ input, so the SQL replay needs no staged materialization):
   the standard keep-first rule — no transitive clustering, so the rule
   is order-independent and SQL-expressible).
 
-Scale shape: stages 1-3 each produce a SMALL driver-side artifact (a
-single threshold; the flagged-id arrays — bounded by the contaminated /
-duplicated minority, not the corpus; were a corpus majority flagged,
-the broadcast sets would be replaced by the hash semi-join in
-engine/relational.py), broadcast once via ``ray.put``; the final
-decision is ONE streaming pass over documents with vectorized masks.
+Scale shape: stage 1 produces a single threshold.  Stages 2-3 produce
+removal-id sets that are SMALL on a healthy corpus (bounded by the
+contaminated / duplicated minority) but corpus-order on a highly
+duplicated crawl — so they are collected through the bounded-broadcast
+guard (textstats.collect_bounded): under ``REMOVAL_BROADCAST_MAX`` ids
+they broadcast once via ``ray.put`` and the final decision is ONE
+streaming pass with vectorized masks; past the cap the pipeline flips
+to a distributed LEFT ANTI hash join (Ray Dataset.join) and no
+removal-id set ever materializes on the driver (VERDICT r03 task #2).
+Both paths are output-identical (pytest-pinned).
 """
 
 from __future__ import annotations
@@ -100,6 +104,13 @@ def quality_threshold_micro(sf_dir: str, q: float = 0.25) -> int:
     return int(vals[min(int(np.searchsorted(cum, target)), len(vals) - 1)])
 
 
+# Removal-id sets above this row count stop being broadcast and flip
+# the pipeline onto the distributed anti-join path.  4M int64 ids ==
+# 32 MB per worker heap — the same order as textstats'
+# VOCAB_BROADCAST_MAX reasoning.
+REMOVAL_BROADCAST_MAX = 4_000_000
+
+
 def corpus_prep(
     sf_dir: str,
     q: float = 0.25,
@@ -108,46 +119,58 @@ def corpus_prep(
     min_overlap: int = 3,
     jaccard_threshold: float = 0.5,
     pair_source: str = "lsh",
+    removal_broadcast_max: int | None = None,
 ) -> "ray.data.Dataset":
     """Run the full curation chain; returns surviving (doc_id, lang).
 
     Near-dup pairs come from minhash_lsh_pairs by default (bounded
     under hot shingles; identical to the exact operator at oracle
     scale — see engine.dedup.dedup_clusters); ``pair_source="exact"``
-    keeps the uncapped operator for oracle-scale replays."""
+    keeps the uncapped operator for oracle-scale replays.
+
+    ``removal_broadcast_max`` (default REMOVAL_BROADCAST_MAX) caps the
+    driver-collected removal-id sets; past it the final filter runs as
+    a distributed LEFT ANTI hash join instead of a broadcast isin —
+    identical output, no driver-side growth on a heavily duplicated or
+    contaminated crawl.  Tests force the join path with 0."""
+    from .textstats import _join_parts, collect_bounded
+
+    cap = (
+        REMOVAL_BROADCAST_MAX
+        if removal_broadcast_max is None
+        else removal_broadcast_max
+    )
     thr = quality_threshold_micro(sf_dir, q)
 
-    contaminated = np.array(
-        sorted(
-            r["doc_id"]
-            for r in decontaminate(
-                sf_dir, n=n, eval_mod=eval_mod, min_overlap=min_overlap
-            ).take_all()
-            if r["contaminated"]
-        ),
-        dtype=np.int64,
-    )
+    def cont_ids(batch: pa.Table) -> pa.Table:
+        sel = batch.column("contaminated")
+        return pa.table({"doc_id": batch.column("doc_id").filter(sel)})
+
+    cont_ds = decontaminate(
+        sf_dir, n=n, eval_mod=eval_mod, min_overlap=min_overlap
+    ).map_batches(cont_ids, batch_format="pyarrow")
+
     if pair_source == "lsh":
         pair_ds = minhash_lsh_pairs(sf_dir, n=n, threshold=jaccard_threshold)
     elif pair_source == "exact":
         pair_ds = ngram_jaccard_pairs(sf_dir, n=n, threshold=jaccard_threshold)
     else:
         raise ValueError(f"unknown pair_source: {pair_source!r}")
-    dup_b = np.array(
-        sorted({r["b"] for r in pair_ds.take_all()}),
-        dtype=np.int64,
-    )
-    ref = ray.put((thr, contaminated, dup_b))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        t, bad_c, bad_d = ray.get(ref)
+    def dup_ids(batch: pa.Table) -> pa.Table:
+        b = np.unique(batch.column("b").to_numpy())
+        return pa.table({"doc_id": pa.array(b.astype(np.int64), pa.int64())})
+
+    dup_ds = pair_ds.map_batches(dup_ids, batch_format="pyarrow")
+
+    cont_tbl = collect_bounded(cont_ds, cap)
+    dup_tbl = collect_bounded(dup_ds, cap) if cont_tbl is not None else None
+
+    def keep_base(batch: pa.Table) -> pa.Table:
+        """Quality + eval-holdout mask (stage 1 & the eval slice drop);
+        shared by both removal paths."""
         ids = batch.column("doc_id").to_numpy()
-        mask = (
-            (_ratio_micro(batch) >= t)
-            & (ids % eval_mod != 0)
-            & ~np.isin(ids, bad_c)
-            & ~np.isin(ids, bad_d)
-        )
+        mask = (_ratio_micro(batch) >= thr) & (ids % eval_mod != 0)
         sel = pa.array(mask)
         return pa.table(
             {
@@ -156,9 +179,36 @@ def corpus_prep(
             }
         )
 
-    return ray.data.read_parquet(
+    base = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    ).map_batches(keep, batch_format="pyarrow")
+    ).map_batches(keep_base, batch_format="pyarrow")
+
+    if cont_tbl is not None and dup_tbl is not None:
+        # broadcast fast path: removal sets are minority-sized
+        bad_c = np.unique(cont_tbl.column("doc_id").to_numpy())
+        bad_d = np.unique(dup_tbl.column("doc_id").to_numpy())
+        ref = ray.put((bad_c, bad_d))
+
+        def drop_flagged(batch: pa.Table) -> pa.Table:
+            c, d = ray.get(ref)
+            ids = batch.column("doc_id").to_numpy()
+            sel = pa.array(~np.isin(ids, c) & ~np.isin(ids, d))
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").filter(sel),
+                    "lang": batch.column("lang").filter(sel),
+                }
+            )
+
+        return base.map_batches(drop_flagged, batch_format="pyarrow")
+
+    # scale path: the removal set exceeded the broadcast cap (or a test
+    # forced cap=0) — distributed hash ANTI join; duplicate removal ids
+    # are harmless (anti-join keeps left rows with NO match, once).
+    removal = cont_ds.union(dup_ds)
+    return base.join(
+        removal, "left_anti", num_partitions=_join_parts(), on=("doc_id",)
+    )
 
 
 def split_corpus(

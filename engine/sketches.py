@@ -111,6 +111,39 @@ def hll_distinct_terms(sf_dir: str, precision: int = 12) -> pa.Table:
     )
 
 
+def hll_recall(sf_dir: str, precision: int = 12) -> pa.Table:
+    """Driver-checkable bounds oracle for hll_distinct_terms (VERDICT
+    r03 task #3, the knn_recall pattern): one row of
+    (exact_distinct, precision, within_bound) where exact_distinct is
+    the DISTRIBUTED exact distinct-term count (the same combiner-first
+    term aggregate term_df uses — never a driver-side set) and
+    within_bound asserts |estimate/exact - 1| <= 4 * 1.04/sqrt(2^p),
+    four standard errors of the HLL estimator (module docstring).
+
+    The SQL oracle recomputes COUNT(DISTINCT term) exactly and sets
+    within_bound to the constant 1 — an HLL regression (bad hashing,
+    register merge bug, broken correction) surfaces as a driver hash
+    mismatch, converting the last oracle-convertible `no_oracle` row
+    into a checked one."""
+    import math
+
+    from .textstats import term_stats
+
+    est = int(
+        hll_distinct_terms(sf_dir, precision).column("estimate")[0].as_py()
+    )
+    exact = int(term_stats(sf_dir).count())
+    bound = 4 * 1.04 / math.sqrt(1 << precision)
+    rel = abs(est - exact) / exact if exact else (0.0 if est == 0 else 1.0)
+    return pa.table(
+        {
+            "exact_distinct": pa.array([exact], pa.int64()),
+            "precision": pa.array([precision], pa.int32()),
+            "within_bound": pa.array([int(rel <= bound)], pa.int32()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min Sketch heavy hitters
 # ---------------------------------------------------------------------------

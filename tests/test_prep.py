@@ -193,3 +193,22 @@ def test_dsir_weights_vs_local(ray_session, sf_dir):
     for lang, vals in by_lang.items():
         if lang != "en":
             assert mean_en > sum(vals) / len(vals)
+
+
+def test_corpus_prep_join_path_identical(ray_session, sf_dir):
+    """VERDICT r03 task #2: forcing the removal sets past the broadcast
+    cap (cap=0) flips corpus_prep onto the distributed LEFT ANTI join —
+    output must be identical to the broadcast fast path."""
+    kw = dict(q=0.25, n=3, eval_mod=50, min_overlap=3, jaccard_threshold=0.5)
+    fast = sorted(
+        (r["doc_id"], r["lang"])
+        for r in prep.corpus_prep(sf_dir, **kw).take_all()
+    )
+    joined = sorted(
+        (r["doc_id"], r["lang"])
+        for r in prep.corpus_prep(
+            sf_dir, removal_broadcast_max=0, **kw
+        ).take_all()
+    )
+    assert joined == fast
+    assert 0 < len(joined)

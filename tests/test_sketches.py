@@ -77,3 +77,16 @@ def test_stratified_sample_deterministic_and_oracle(ray_session, con):
         ).fetchall()
     )
     assert got == orc
+
+
+def test_hll_recall_bounds_oracle(ray_session, con):
+    """hll_recall emits the exact distributed distinct count plus a
+    within-4-sigma flag; both must match the SQL recomputation."""
+    t = sketches.hll_recall(SF)
+    exact = con.execute(
+        "SELECT count(DISTINCT t) FROM (SELECT lower(unnest(string_split(text,' '))) "
+        "AS t FROM documents) WHERE t <> ''"
+    ).fetchone()[0]
+    assert t.column("exact_distinct")[0].as_py() == exact
+    assert t.column("precision")[0].as_py() == 12
+    assert t.column("within_bound")[0].as_py() == 1
