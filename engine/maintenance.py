@@ -57,6 +57,49 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return int(merged.size)
 
 
+def generation_count(index_dir: str) -> int:
+    """Number of segment generations (1 fresh build + one per
+    add_documents).  Point lookups (more_like_this) are
+    O(generations), so a long-lived incrementally-updated index should
+    be compacted when this grows."""
+    from .checkpoint import generations, read_build_manifest
+
+    return len(generations(read_build_manifest(index_dir)))
+
+
+def auto_compact(
+    index_dir: str,
+    max_generations: int = 4,
+    out_dir: str | None = None,
+    **merge_kwargs,
+) -> tuple[str, dict | None]:
+    """Compaction POLICY for long-lived incrementally-updated indexes
+    (VERDICT r03 task #7): when the index exceeds ``max_generations``
+    generations (or has any tombstones worth folding in), rewrite it
+    through compact_index into ``out_dir`` (default:
+    ``<index_dir>.compact``) and return ``(live_dir, stats)`` where
+    live_dir is the path callers should serve from now on.  Below the
+    threshold this is a no-op returning ``(index_dir, None)``.
+
+    Deliberately OUT-OF-PLACE: the object-store commit protocol has no
+    atomic directory swap (engine.fsio — no renames on URI roots), and
+    readers enumerate segments by directory scan, so an in-place
+    rewrite would double-score mid-compaction.  The old index stays
+    intact until the caller retires it — the same alias-flip pattern
+    object-store table formats use.  Calling it after every
+    add_documents bounds generations at ``max_generations`` with one
+    O(corpus) rewrite per ``max_generations`` adds."""
+    if generation_count(index_dir) <= max_generations:
+        return index_dir, None
+    dest = out_dir if out_dir is not None else index_dir.rstrip("/") + ".compact"
+    from . import fsio
+
+    if fsio.exists(dest):
+        fsio.rmtree(dest)
+    stats = compact_index(index_dir, dest, **merge_kwargs)
+    return dest, stats
+
+
 def compact_index(index_dir: str, out_dir: str, **merge_kwargs) -> dict:
     """Rewrite the index without its tombstoned docs (no re-analysis).
 

@@ -796,11 +796,19 @@ class SegmentScorer:
     seg_lo, seg_hi) segment-range work items and emits per-(query,
     segment) partial top-k rows."""
 
-    def __init__(self, index_dir: str, mode: str = "auto", match: str = "any",
+    def __init__(self, index_dir, mode: str = "auto", match: str = "any",
                  filter_lang: str | None = None, scorer: str = "bm25",
                  collapse: str | None = None, slop: int = 2,
                  sort_by_path: bool = False, stats_override: dict | None = None):
-        self.reader = IndexReader(index_dir, stats_override=stats_override)
+        # index_dir may be a LIST for federated scoring: work items then
+        # carry an `index_id` selecting the reader, so N indexes score
+        # through ONE actor pool / one Ray job instead of N sequential
+        # pool spin-ups (VERDICT r03 task #4).
+        dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+        self.readers = [
+            IndexReader(d, stats_override=stats_override) for d in dirs
+        ]
+        self.reader = self.readers[0]
         self.mode = mode
         self.match = match
         self.filter_lang = filter_lang
@@ -813,8 +821,8 @@ class SegmentScorer:
         rows = batch.to_pylist()  # few work items; inner loops dominate
         o_qid, o_k, o_did, o_score, o_repo, o_path = [], [], [], [], [], []
         o_ckey: list[str] = []
-        rd = self.reader
         for row in rows:
+          rd = self.readers[int(row.get("index_id") or 0)]
           lo, hi = int(row["seg_lo"]), int(row["seg_hi"])
           qids = row["query_ids"]
           texts = row["texts"]
@@ -1072,8 +1080,17 @@ def run_queries(
     # distributed groupby merge.
     est_partial_rows = n_queries_hint * -(-n_segs // segs_per_task) * kmax_hint
     if 0 < est_partial_rows <= 500_000:
-        rows = scored.take_all()
-        if not rows:
+        # Arrow-native collect: stream the k-sized partial batches and
+        # concat — no row-dict round-trip (VERDICT r03 task #5).
+        parts = list(
+            scored.iter_batches(batch_format="pyarrow", batch_size=65536)
+        )
+        t = (
+            pa.concat_tables(parts).combine_chunks()
+            if parts
+            else None
+        )
+        if t is None or t.num_rows == 0:
             return ray.data.from_arrow(
                 pa.table(
                     {
@@ -1086,7 +1103,6 @@ def run_queries(
                     }
                 )
             )
-        t = pa.Table.from_pylist(rows)
         qids = t.column("query_id").to_numpy()
         order = np.argsort(qids, kind="stable")
         t = t.take(pa.array(order, pa.int64()))
@@ -1205,16 +1221,51 @@ def run_queries_federated(
     driver.  Precondition: disjoint doc keys across indexes (same rule
     as merge_indexes' D1 collapse — a duplicated key would score in
     both).
+
+    All indexes score through ONE Ray job / one actor pool: work items
+    carry (index_id, segment range, query block) and SegmentScorer
+    holds a reader per index — N indexes no longer pay N sequential
+    actor-pool spin-ups (VERDICT r03 task #4).
     """
     ov = federated_stats(index_dirs, queries)
-    parts: list[dict] = []
-    for d in index_dirs:
-        parts.extend(
-            run_queries(
-                d, queries, mode=mode, match=match, concurrency=concurrency,
-                slop=slop, stats_override=ov,
-            ).take_all()
-        )
+    qlist = [
+        {
+            "query_id": int(q["query_id"]),
+            "text": q["text"],
+            "k": int(q.get("k", 10)),
+        }
+        for q in queries
+    ]
+    items: list[dict] = []
+    for idx, d in enumerate(index_dirs):
+        n_segs = len(list_segments(d))
+        if n_segs == 0:
+            raise ValueError(f"no segments under {d}")
+        segs_per_task = max(1, min(8, n_segs))
+        for lo in range(0, n_segs, segs_per_task):
+            items.append(
+                {
+                    "index_id": idx,
+                    "seg_lo": lo,
+                    "seg_hi": min(lo + segs_per_task, n_segs),
+                    "query_ids": [q["query_id"] for q in qlist],
+                    "texts": [q["text"] for q in qlist],
+                    "ks": [q["k"] for q in qlist],
+                    "after_scores": [None] * len(qlist),
+                    "after_docs": [None] * len(qlist),
+                }
+            )
+    scored = ray.data.from_items(items).map_batches(
+        SegmentScorer,
+        fn_constructor_kwargs={
+            "index_dir": index_dirs, "mode": mode, "match": match,
+            "slop": slop, "stats_override": ov,
+        },
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+    parts: list[dict] = scored.take_all()
     by_q: dict[int, list[dict]] = {}
     for r in parts:
         by_q.setdefault(int(r["query_id"]), []).append(r)

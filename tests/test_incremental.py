@@ -246,3 +246,56 @@ def test_many_generations(ray_session, tmp_path):
     seg = rd.segment(7)
     if seg.num_docs:
         assert rd.locate(int(seg.doc_ids[0]))[0] == 7
+
+
+def test_auto_compact_bounds_generations(ray_session, tmp_path):
+    """VERDICT r03 task #7: a long-lived index driven through ~20
+    incremental adds with the auto_compact policy stays rank-identical
+    to a refimpl over the accumulated corpus while the generation
+    count stays bounded at max_generations."""
+    from engine.maintenance import auto_compact, generation_count
+    from engine.refimpl import RefIndex
+
+    G = 4
+    base = gen_corpus(30)
+    live = str(tmp_path / "live0")
+    build_index(_ds(base), live, num_parts=2, analyzer_concurrency=(1, 2))
+    all_rows = list(base)
+    n_compactions = 0
+    for g in range(20):
+        rows = []
+        for r in gen_corpus(5, seed=300 + g):
+            r = dict(r)
+            r["repo"] = f"ac{g}/" + r["repo"]
+            rows.append(r)
+        add_documents(live, _ds(rows), num_parts=1,
+                      analyzer_concurrency=(1, 2))
+        all_rows += rows
+        new_live, stats = auto_compact(
+            live, max_generations=G,
+            out_dir=str(tmp_path / f"live{g + 1}"),
+        )
+        if stats is not None:
+            n_compactions += 1
+            assert generation_count(new_live) == 1
+        live = new_live
+        assert generation_count(live) <= G + 1  # post-add, pre-compact peak
+    assert n_compactions >= 3  # the policy actually fired repeatedly
+
+    rd = IndexReader(live)
+    ref = RefIndex(all_rows)
+    # gen_corpus appends exact-duplicate rows (D1 dedups them) — compare
+    # engine vs refimpl, not raw row count
+    assert rd.num_docs == ref.num_docs
+    n = 0
+    for q in gen_queries()[:6]:
+        want = ref.topk(q["text"], q["k"])
+        got = rd.search(q["text"], q["k"])
+        assert [h["doc_id"] for h in got] == [d for d, _ in want], q["text"]
+        for h, (_, ws) in zip(got, want):
+            assert abs(h["score"] - ws) <= 1e-9
+        n += bool(want)
+    assert n >= 3
+    # below-threshold call is a no-op
+    same, stats = auto_compact(live, max_generations=G)
+    assert stats is None and same == live
