@@ -873,6 +873,14 @@ def _q_minhash_pairs(sf_dir: str):
     return dedup.minhash_lsh_pairs(sf_dir, n=3, threshold=0.5)
 
 
+def _q_duplicate_passages(sf_dir: str):
+    """Exact cross-doc duplicate passages (non-overlapping 20-token
+    windows) — engine.dedup.duplicate_passages."""
+    from engine import dedup
+
+    return dedup.duplicate_passages(sf_dir, width=20)
+
+
 def _q_simhash(sf_dir: str):
     from engine import dedup
 
@@ -1366,8 +1374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "dedup_clusters": _q_dedup_clusters,
         "minhash_lsh_pairs": _q_minhash_pairs,
-        "hybrid_search": _q_hybrid_search,
+        "duplicate_passages": _q_duplicate_passages,
         # ---- driver window (50) ends here ----
+        "hybrid_search": _q_hybrid_search,
         "snippets": _q_snippets,
         "stratified_sample": _q_stratified_sample,
         "split_corpus": _q_split_corpus,
@@ -3127,6 +3136,30 @@ SELECT CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct,
        CAST(12 AS INTEGER) AS precision,
        CAST(1 AS INTEGER) AS within_bound
 FROM ({_TOK2})
+""",
+        # exact duplicate passages: non-overlapping 20-token windows
+        # (ragged tails dropped), passages shared by >= 2 distinct docs
+        "duplicate_passages": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, generate_subscripts(w, 1) - 1 AS i, unnest(w) AS tk FROM tok
+),
+pass AS (
+  SELECT doc_id, i // 20 AS pidx,
+         string_agg(tk, ' ' ORDER BY i) AS ptext
+  FROM tp GROUP BY doc_id, i // 20
+  HAVING count(*) = 20
+),
+shared AS (
+  SELECT ptext, count(DISTINCT doc_id) AS nd
+  FROM pass GROUP BY ptext HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT p.doc_id, CAST(p.pidx AS BIGINT) AS passage_idx,
+       CAST(s.nd AS BIGINT) AS n_docs_sharing
+FROM pass p JOIN shared s USING (ptext)
 """,
     }
     # minhash_lsh_pairs exact-verifies its candidates, and the banding

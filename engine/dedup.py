@@ -910,3 +910,115 @@ def dedup_clusters(
         return pa.table({"doc_id": t.column("node"), "cluster_id": t.column("label")})
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# D-P: duplicate passages (exact substring-level dedup, windowed)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_passages(sf_dir: str, width: int = 20) -> "ray.data.Dataset":
+    """Cross-document EXACT duplicate-passage detection — the
+    substring-level dedup step large-scale curation pipelines run after
+    whole-doc dedup (RefinedWeb/CCNet-style: repeated boilerplate,
+    license headers, templated passages survive document-level dedup).
+
+    A passage is a NON-OVERLAPPING ``width``-token window of the
+    lowercase whitespace tokenization (ragged tails < width are
+    dropped: a partial window would spuriously match a full one).
+    Output: one row per (doc_id, passage_idx) whose passage text occurs
+    in >= 2 DISTINCT documents, with n_docs_sharing = that distinct-doc
+    count.  Fully exact and SQL-replicable (the oracle replays windows
+    with string_agg).
+
+    Scale shape: the only exchange is a groupby on the passage's
+    FNV-1a-64 hash (skew-resistant, hash-uniform); passage text rides
+    on the row so the in-group count is EXACT under hash collisions
+    (rows are grouped by full text inside each hash group — the
+    minhash exact-verify precedent).  Per-batch work is vectorized:
+    windows are built as one Arrow ListArray and joined with ONE
+    pc.binary_join kernel call; only window JOINED STRINGS are hashed
+    (no per-token Python loop).
+    """
+    from .functions import fnv1a64_arr
+
+    def passages(batch: pa.Table) -> pa.Table:
+        counts, flat = _tokens(batch)
+        ids = batch.column("doc_id").to_numpy()
+        nwin = counts // width
+        total = int(nwin.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "ptext": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "passage_idx": pa.array([], pa.int64()),
+                }
+            )
+        # token index of each kept token: per doc, the first
+        # nwin*width tokens starting at the doc's flat offset
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        kept = nwin * width
+        sel = np.concatenate(
+            [np.arange(s, s + k) for s, k in zip(starts, kept) if k]
+        )
+        win_tokens = flat.take(pa.array(sel, pa.int64()))
+        offsets = pa.array(
+            np.arange(0, total * width + 1, width, dtype=np.int32), pa.int32()
+        )
+        la = pa.ListArray.from_arrays(
+            offsets,
+            win_tokens.combine_chunks()
+            if isinstance(win_tokens, pa.ChunkedArray)
+            else win_tokens,
+        )
+        ptext = pc.binary_join(la, " ")
+        h = (fnv1a64_arr(ptext.to_pylist()) >> np.uint64(1)).astype(np.int64)
+        win_doc = np.repeat(ids, nwin)
+        win_idx = np.concatenate([np.arange(n) for n in nwin if n])
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "ptext": ptext,
+                "doc_id": pa.array(win_doc, pa.int64()),
+                "passage_idx": pa.array(win_idx.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def emit_shared(group: pa.Table) -> pa.Table:
+        # exact within the hash group: split by full passage text
+        denc = pc.dictionary_encode(group.column("ptext").combine_chunks())
+        codes = denc.indices.to_numpy().astype(np.int64)
+        docs = group.column("doc_id").to_numpy()
+        nv = len(denc.dictionary)
+        # distinct docs per text code
+        uniq_pairs = np.unique(np.stack([codes, docs], axis=1), axis=0)
+        nd = np.bincount(uniq_pairs[:, 0], minlength=nv)
+        keep = nd[codes] >= 2
+        if not keep.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "passage_idx": pa.array([], pa.int64()),
+                    "n_docs_sharing": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[keep], pa.int64()),
+                "passage_idx": pa.array(
+                    group.column("passage_idx").to_numpy()[keep], pa.int64()
+                ),
+                "n_docs_sharing": pa.array(nd[codes][keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(passages, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(emit_shared, batch_format="pyarrow")
+    )

@@ -57,6 +57,27 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return int(merged.size)
 
 
+ALIAS_FILE = "alias.json"
+
+
+def write_alias(alias_path: str, index_dir: str) -> None:
+    """Point a serving ALIAS at an index directory — the flip step of
+    out-of-place compaction (auto_compact).  The alias is a single
+    JSON key written through the fsio commit protocol (atomic on both
+    local and object-store roots), so readers following the alias see
+    either the old or the new index, never a mix."""
+    from . import fsio
+
+    fsio.write_json(alias_path, {"index_dir": index_dir, "version": 1})
+
+
+def read_alias(alias_path: str) -> str:
+    """The index directory an alias currently points at."""
+    from . import fsio
+
+    return str(fsio.read_json(alias_path)["index_dir"])
+
+
 def generation_count(index_dir: str) -> int:
     """Number of segment generations (1 fresh build + one per
     add_documents).  Point lookups (more_like_this) are

@@ -352,3 +352,33 @@ def test_dedup_clusters_lsh_equals_exact(ray_session, sf_dir):
         for r in dedup.dedup_clusters(sf_dir, pair_source="exact").take_all()
     )
     assert lsh == exact and lsh
+
+
+def test_duplicate_passages_vs_local(ray_session):
+    """duplicate_passages == a pure-Python window replay: every
+    (doc_id, passage_idx) whose 20-token window text is shared by >= 2
+    distinct docs, with the exact distinct-doc count."""
+    import pyarrow.parquet as pq
+
+    from engine.dedup import duplicate_passages
+
+    sf = "/root/testdata/sf0.01"
+    W = 20
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    by_text: dict[str, set[int]] = {}
+    occ: list[tuple[int, int, str]] = []
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = [w for w in text.lower().split(" ") if w]
+        for j in range(len(toks) // W):
+            p = " ".join(toks[j * W : (j + 1) * W])
+            by_text.setdefault(p, set()).add(did)
+            occ.append((did, j, p))
+    want = sorted(
+        (did, j, len(by_text[p])) for did, j, p in occ if len(by_text[p]) >= 2
+    )
+    got = sorted(
+        (r["doc_id"], r["passage_idx"], r["n_docs_sharing"])
+        for r in duplicate_passages(sf, width=W).take_all()
+    )
+    assert got == want
+    assert len(got) > 0  # the fixture corpus actually has shared passages

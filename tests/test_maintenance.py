@@ -114,3 +114,26 @@ def test_compaction_byte_identity(built, tmp_path):
     r = IndexReader(compacted)
     for h in r.search(QTEXT, k=50):
         assert h["doc_id"] not in set(dead_ids)
+
+
+def test_alias_flip(built, tmp_path):
+    """Serving alias: points at the live index, flips atomically to the
+    compacted one, and readers resolve through it."""
+    from engine.maintenance import read_alias, write_alias
+    from engine.query import IndexReader
+
+    idx = built["full"]
+    alias = str(tmp_path / "alias.json")
+    write_alias(alias, idx)
+    assert read_alias(alias) == idx
+    rd = IndexReader(read_alias(alias))
+    assert rd.num_docs > 0
+    # flip to a compacted copy
+    from engine.maintenance import compact_index
+
+    dest = str(tmp_path / "compacted")
+    compact_index(idx, dest)
+    write_alias(alias, dest)
+    assert read_alias(alias) == dest
+    rd2 = IndexReader(read_alias(alias))
+    assert rd2.num_docs == rd.num_docs  # no tombstones -> same corpus
