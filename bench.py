@@ -256,6 +256,7 @@ def run_dedup_bench(sf_dir: str, num_cpus: int) -> dict:
         "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(sf_dir),
         "simhash_dup_pairs": lambda: dedup.simhash_dup_pairs(sf_dir),
         "embedding_dup_pairs": lambda: dedup.embedding_dup_pairs(sf_dir, threshold=0.4),
+        "duplicate_passages": lambda: dedup.duplicate_passages(sf_dir),
     }
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
