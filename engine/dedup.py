@@ -935,7 +935,11 @@ def duplicate_passages(sf_dir: str, width: int = 20) -> "ray.data.Dataset":
     FNV-1a-64 hash (skew-resistant, hash-uniform); passage text rides
     on the row so the in-group count is EXACT under hash collisions
     (rows are grouped by full text inside each hash group — the
-    minhash exact-verify precedent).  Per-batch work is vectorized:
+    minhash exact-verify precedent).  A passage shared by EVERY doc
+    (license header) concentrates its occurrence rows in one group;
+    the group kernel is a vectorized dictionary-encode + bincount
+    (linear, memory O(group rows)), pinned by the 100%-hot-passage
+    pytest (tests/test_skew.py).  Per-batch work is vectorized:
     windows are built as one Arrow ListArray and joined with ONE
     pc.binary_join kernel call; only window JOINED STRINGS are hashed
     (no per-token Python loop).

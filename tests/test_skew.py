@@ -67,3 +67,31 @@ def test_rank_identity_under_skew(skewed):
         assert [d for d, _ in got] == [d for d, _ in want], text
         for (_, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) <= 1e-9
+
+
+def test_duplicate_passages_hot_passage_exact(ray_session, tmp_path):
+    """A passage shared by EVERY document (the license-header case) puts
+    the whole corpus into ONE passage-hash group; the op must stay
+    EXACT there (emit every occurrence with the full distinct-doc
+    count) and the group kernel is vectorized, not quadratic."""
+    import pyarrow.parquet as pq
+
+    from engine.dedup import duplicate_passages
+
+    W = 20
+    header = " ".join(f"lic{i}" for i in range(W))  # one full hot window
+    n = 300
+    rows = []
+    for d in range(n):
+        # unique tail so ONLY the header window is shared
+        tail = " ".join(f"u{d}w{j}" for j in range(W))
+        rows.append({"doc_id": d, "text": f"{header} {tail}"})
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.Table.from_pylist(rows), f"{sf}/documents.parquet"
+    )
+    got = sorted(
+        (r["doc_id"], r["passage_idx"], r["n_docs_sharing"])
+        for r in duplicate_passages(sf, width=W).take_all()
+    )
+    assert got == [(d, 0, n) for d in range(n)]
