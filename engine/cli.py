@@ -8,6 +8,9 @@ Commands:
   merge   — merge existing indexes into one (no re-analysis)
   query   — serve a query file (JSONL/parquet) against an index
   stats   — print an index's collection stats + per-segment metrics
+  delete  — tombstone documents (query-time exclusion, O(deleted))
+  compact — rewrite without tombstones / fold generations, optionally
+            gated on a generation threshold and flipping a serving alias
   bench   — headline build+query benchmark (same code path as bench.py)
 
 The CLI owns the Ray session: it calls ``ray.init(address=...)`` guarded
@@ -121,6 +124,36 @@ def cmd_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_delete(args: argparse.Namespace) -> int:
+    from .maintenance import delete_docs
+
+    ids = [int(x) for x in args.doc_ids]
+    total = delete_docs(args.index, ids)
+    print(json.dumps({"tombstones": total, "added": len(ids)}))
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    _ray_up(args.num_cpus)
+    from .maintenance import auto_compact, compact_index, write_alias
+
+    if args.max_generations is not None:
+        live, stats = auto_compact(
+            args.index, max_generations=args.max_generations, out_dir=args.out
+        )
+        if args.alias:
+            write_alias(args.alias, live)
+        print(json.dumps({"live": live, "compacted": stats is not None,
+                          "stats": stats}))
+        return 0
+    out = args.out if args.out is not None else args.index.rstrip("/") + ".compact"
+    stats = compact_index(args.index, out)
+    if args.alias:
+        write_alias(args.alias, out)
+    print(json.dumps({"live": out, "compacted": True, "stats": stats}))
+    return 0
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     import os
     import subprocess
@@ -180,6 +213,27 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("index")
     s.add_argument("--verbose", action="store_true")
     s.set_defaults(fn=cmd_stats)
+
+    dl = sub.add_parser("delete", help="tombstone documents (query-time exclusion)")
+    dl.add_argument("index")
+    dl.add_argument("doc_ids", nargs="+", help="doc_ids to mark deleted")
+    dl.set_defaults(fn=cmd_delete)
+
+    cp = sub.add_parser(
+        "compact",
+        help="rewrite an index without tombstones / fold generations "
+             "(out-of-place; optionally flip a serving alias)",
+    )
+    cp.add_argument("index")
+    cp.add_argument("out", nargs="?", default=None,
+                    help="output dir (default <index>.compact)")
+    cp.add_argument("--max-generations", type=int, default=None,
+                    help="only compact when the index exceeds this many "
+                         "generations (auto_compact policy)")
+    cp.add_argument("--alias", default=None,
+                    help="alias JSON path to flip to the live index")
+    cp.add_argument("--num-cpus", type=int, default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     be = sub.add_parser("bench", help="headline benchmark (delegates to bench.py)")
     be.add_argument("--sf-dir", default="/root/testdata/sf0.1")
