@@ -135,18 +135,20 @@ def cmd_delete(args: argparse.Namespace) -> int:
 
 def cmd_compact(args: argparse.Namespace) -> int:
     _ray_up(args.num_cpus)
-    from .maintenance import auto_compact, compact_index, write_alias
+    from .maintenance import (auto_compact, compact_index,
+                              default_compact_dest, write_alias)
 
     if args.max_generations is not None:
         live, stats = auto_compact(
-            args.index, max_generations=args.max_generations, out_dir=args.out
+            args.index, max_generations=args.max_generations,
+            out_dir=args.out, min_tombstones=args.min_tombstones,
         )
         if args.alias:
             write_alias(args.alias, live)
         print(json.dumps({"live": live, "compacted": stats is not None,
                           "stats": stats}))
         return 0
-    out = args.out if args.out is not None else args.index.rstrip("/") + ".compact"
+    out = args.out if args.out is not None else default_compact_dest(args.index)
     stats = compact_index(args.index, out)
     if args.alias:
         write_alias(args.alias, out)
@@ -230,6 +232,9 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--max-generations", type=int, default=None,
                     help="only compact when the index exceeds this many "
                          "generations (auto_compact policy)")
+    cp.add_argument("--min-tombstones", type=int, default=None,
+                    help="with --max-generations: also compact when at "
+                         "least this many tombstones have accumulated")
     cp.add_argument("--alias", default=None,
                     help="alias JSON path to flip to the live index")
     cp.add_argument("--num-cpus", type=int, default=None)

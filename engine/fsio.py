@@ -131,11 +131,11 @@ def write_bytes(path: str, data: bytes) -> None:
             os.rename(tmp, p)
         except OSError:
             os.unlink(tmp)
-            # The only benign rename failure is losing a race to an
-            # identical writer (bytes are deterministic); anything
-            # else must surface, not silently drop the file.
-            if not os.path.exists(p):
-                raise
+            # POSIX rename REPLACES an existing destination, so a
+            # failure is never a benign lost race — it is a real error
+            # (EACCES/EXDEV/...) and swallowing it would silently drop
+            # writes of MUTABLE files (tombstones, alias, manifests).
+            raise
         return
     fs.create_dir(posixpath.dirname(p), recursive=True)
     with fs.open_output_stream(p) as f:
@@ -158,8 +158,7 @@ def write_chunks(path: str, chunks: list[bytes], once: bool = False) -> None:
             os.rename(tmp, p)
         except OSError:
             os.unlink(tmp)
-            if not os.path.exists(p):
-                raise
+            raise  # see write_bytes: rename failure is never benign
         return
     fs.create_dir(posixpath.dirname(p), recursive=True)
     with fs.open_output_stream(p) as f:

@@ -63,9 +63,12 @@ ALIAS_FILE = "alias.json"
 def write_alias(alias_path: str, index_dir: str) -> None:
     """Point a serving ALIAS at an index directory — the flip step of
     out-of-place compaction (auto_compact).  The alias is a single
-    JSON key written through the fsio commit protocol (atomic on both
-    local and object-store roots), so readers following the alias see
-    either the old or the new index, never a mix."""
+    JSON key; the flip is atomic on plain local paths (tmp+rename) and
+    on real object stores (PUT is atomic per key), so readers see
+    either the old or the new target.  ``file://`` URIs take the
+    generic in-place-write protocol and are NOT atomic — that path
+    form exists for protocol testing, not serving; keep serving
+    aliases on a plain local path or a real object store."""
     from . import fsio
 
     fsio.write_json(alias_path, {"index_dir": index_dir, "version": 1})
@@ -88,19 +91,27 @@ def generation_count(index_dir: str) -> int:
     return len(generations(read_build_manifest(index_dir)))
 
 
+def default_compact_dest(index_dir: str) -> str:
+    """The ONE default destination convention for out-of-place
+    compaction, shared by auto_compact and the CLI."""
+    return index_dir.rstrip("/") + ".compact"
+
+
 def auto_compact(
     index_dir: str,
     max_generations: int = 4,
     out_dir: str | None = None,
+    min_tombstones: int | None = None,
     **merge_kwargs,
 ) -> tuple[str, dict | None]:
     """Compaction POLICY for long-lived incrementally-updated indexes
     (VERDICT r03 task #7): when the index exceeds ``max_generations``
-    generations (or has any tombstones worth folding in), rewrite it
-    through compact_index into ``out_dir`` (default:
-    ``<index_dir>.compact``) and return ``(live_dir, stats)`` where
-    live_dir is the path callers should serve from now on.  Below the
-    threshold this is a no-op returning ``(index_dir, None)``.
+    generations — or, if ``min_tombstones`` is set, has accumulated at
+    least that many tombstones — rewrite it through compact_index into
+    ``out_dir`` (default ``default_compact_dest``) and return
+    ``(live_dir, stats)`` where live_dir is the path callers should
+    serve from now on.  Below both thresholds this is a no-op
+    returning ``(index_dir, None)``.
 
     Deliberately OUT-OF-PLACE: the object-store commit protocol has no
     atomic directory swap (engine.fsio — no renames on URI roots), and
@@ -109,14 +120,27 @@ def auto_compact(
     intact until the caller retires it — the same alias-flip pattern
     object-store table formats use.  Calling it after every
     add_documents bounds generations at ``max_generations`` with one
-    O(corpus) rewrite per ``max_generations`` adds."""
-    if generation_count(index_dir) <= max_generations:
+    O(corpus) rewrite per ``max_generations`` adds.
+
+    An EXISTING destination is an error, never silently deleted: on a
+    repeated schedule the default dest may be the index a serving
+    alias currently points at, and rmtree'ing it would pull the live
+    index out from under readers — pass a fresh ``out_dir`` per
+    compaction (or retire the old one first)."""
+    due = generation_count(index_dir) > max_generations
+    if not due and min_tombstones is not None:
+        due = read_tombstones(index_dir).size >= min_tombstones
+    if not due:
         return index_dir, None
-    dest = out_dir if out_dir is not None else index_dir.rstrip("/") + ".compact"
+    dest = out_dir if out_dir is not None else default_compact_dest(index_dir)
     from . import fsio
 
     if fsio.exists(dest):
-        fsio.rmtree(dest)
+        raise ValueError(
+            f"compaction destination already exists: {dest} — it may be a "
+            "live (alias-targeted) index; pass a fresh out_dir or remove "
+            "it explicitly"
+        )
     stats = compact_index(index_dir, dest, **merge_kwargs)
     return dest, stats
 

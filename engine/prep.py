@@ -133,7 +133,24 @@ def corpus_prep(
     a distributed LEFT ANTI hash join instead of a broadcast isin —
     identical output, no driver-side growth on a heavily duplicated or
     contaminated crawl.  Tests force the join path with 0."""
-    from .textstats import _join_parts, collect_bounded
+    from .textstats import _join_parts
+
+    def bounded_ids(ds: "ray.data.Dataset", cap: int) -> "np.ndarray | None":
+        """Driver-collect a doc_id Dataset up to ``cap`` rows; None on
+        overflow.  Unlike textstats.collect_bounded, an EMPTY set is a
+        valid (empty) result — a clean corpus with nothing to remove
+        must keep the broadcast fast path, not pay the join shuffle."""
+        got: list[np.ndarray] = []
+        total = 0
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+            a = b.column("doc_id").to_numpy()
+            got.append(a)
+            total += len(a)
+            if total > cap:
+                return None
+        if not got:
+            return np.zeros(0, np.int64)
+        return np.unique(np.concatenate(got))
 
     cap = (
         REMOVAL_BROADCAST_MAX
@@ -163,8 +180,8 @@ def corpus_prep(
 
     dup_ds = pair_ds.map_batches(dup_ids, batch_format="pyarrow")
 
-    cont_tbl = collect_bounded(cont_ds, cap)
-    dup_tbl = collect_bounded(dup_ds, cap) if cont_tbl is not None else None
+    bad_c = bounded_ids(cont_ds, cap)
+    bad_d = bounded_ids(dup_ds, cap) if bad_c is not None else None
 
     def keep_base(batch: pa.Table) -> pa.Table:
         """Quality + eval-holdout mask (stage 1 & the eval slice drop);
@@ -183,10 +200,8 @@ def corpus_prep(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     ).map_batches(keep_base, batch_format="pyarrow")
 
-    if cont_tbl is not None and dup_tbl is not None:
+    if bad_c is not None and bad_d is not None:
         # broadcast fast path: removal sets are minority-sized
-        bad_c = np.unique(cont_tbl.column("doc_id").to_numpy())
-        bad_d = np.unique(dup_tbl.column("doc_id").to_numpy())
         ref = ray.put((bad_c, bad_d))
 
         def drop_flagged(batch: pa.Table) -> pa.Table:

@@ -1236,11 +1236,34 @@ def run_queries_federated(
         }
         for q in queries
     ]
+    seg_counts = []
+    total_ranges = 0
+    for d in index_dirs:
+        n = len(list_segments(d))
+        if n == 0:
+            raise ValueError(f"no segments under {d}")
+        seg_counts.append(n)
+        total_ranges += -(-n // max(1, min(8, n)))
+    kmax = max((q["k"] for q in qlist), default=0)
+    if len(qlist) > 256 or len(qlist) * total_ranges * kmax > 500_000:
+        # LARGE query sets: embedding the whole query block in every
+        # range item would duplicate it total_ranges times and the raw
+        # partial take_all would be unbounded — fall back to the
+        # per-index path, which keeps run_queries' per-query work
+        # items and distributed merge; each take_all here collects
+        # only the MERGED queries x k rows per index.
+        parts: list[dict] = []
+        for d in index_dirs:
+            parts.extend(
+                run_queries(
+                    d, queries, mode=mode, match=match,
+                    concurrency=concurrency, slop=slop, stats_override=ov,
+                ).take_all()
+            )
+        return _federated_merge(parts, qlist)
     items: list[dict] = []
     for idx, d in enumerate(index_dirs):
-        n_segs = len(list_segments(d))
-        if n_segs == 0:
-            raise ValueError(f"no segments under {d}")
+        n_segs = seg_counts[idx]
         segs_per_task = max(1, min(8, n_segs))
         for lo in range(0, n_segs, segs_per_task):
             items.append(
@@ -1265,11 +1288,18 @@ def run_queries_federated(
         batch_size=64,
         concurrency=concurrency,
     )
-    parts: list[dict] = scored.take_all()
+    parts = scored.take_all()
+    return _federated_merge(parts, qlist)
+
+
+def _federated_merge(parts: list[dict], qlist: list[dict]) -> pa.Table:
+    """Global top-k selection over per-index candidate rows (partial
+    top-ks or per-index merged top-ks — both are supersets of the
+    global top-k by the disjoint-doc-keys lemma)."""
     by_q: dict[int, list[dict]] = {}
     for r in parts:
         by_q.setdefault(int(r["query_id"]), []).append(r)
-    kmap = {int(q["query_id"]): int(q.get("k", 10)) for q in queries}
+    kmap = {int(q["query_id"]): int(q["k"]) for q in qlist}
     out = []
     for qid in sorted(by_q):
         cand = sorted(by_q[qid], key=lambda r: (-r["score"], r["doc_id"]))

@@ -85,3 +85,36 @@ def test_federated_analyzer_mismatch(federated, tmp_path):
             [federated["dirs"][0], other],
             [{"query_id": 0, "text": "x", "k": 5}],
         )
+
+
+def test_federated_large_query_fallback_identical(federated):
+    """Past 256 queries the one-job range-major shape would duplicate
+    the query block per range item; the per-index fallback must kick in
+    and stay rank-and-score identical per query text."""
+    base = [q for q in gen_queries()[:6]]
+    small = [
+        {"query_id": i, "text": q["text"], "k": 5}
+        for i, q in enumerate(base)
+    ]
+    # 300 queries cycling the same 6 texts -> fallback path
+    big = [
+        {"query_id": 1000 + i, "text": base[i % len(base)]["text"], "k": 5}
+        for i in range(300)
+    ]
+    t_small = run_queries_federated(federated["dirs"], small,
+                                    concurrency=(1, 2))
+    t_big = run_queries_federated(federated["dirs"], big,
+                                  concurrency=(1, 2))
+    by_small = {}
+    for r in t_small.to_pylist():
+        by_small.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    by_big = {}
+    for r in t_big.to_pylist():
+        by_big.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid, rows in by_big.items():
+        want = by_small[(qid - 1000) % len(base)]
+        assert sorted(rows) == sorted(want), qid
