@@ -156,6 +156,15 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_alias(args: argparse.Namespace) -> int:
+    from .maintenance import read_alias, write_alias
+
+    if args.set is not None:
+        write_alias(args.alias, args.set)
+    print(json.dumps({"alias": args.alias, "index_dir": read_alias(args.alias)}))
+    return 0
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     import os
     import subprocess
@@ -239,6 +248,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="alias JSON path to flip to the live index")
     cp.add_argument("--num-cpus", type=int, default=None)
     cp.set_defaults(fn=cmd_compact)
+
+    al = sub.add_parser("alias", help="read or flip a serving alias")
+    al.add_argument("alias", help="alias JSON path")
+    al.add_argument("--set", default=None, metavar="INDEX_DIR",
+                    help="point the alias at this index dir")
+    al.set_defaults(fn=cmd_alias)
 
     be = sub.add_parser("bench", help="headline benchmark (delegates to bench.py)")
     be.add_argument("--sf-dir", default="/root/testdata/sf0.1")

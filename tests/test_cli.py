@@ -61,3 +61,13 @@ def test_cli_delete_and_compact_alias(cli_idx, capsys):
     assert r["compacted"] is True and r["live"] == out
     assert read_alias(alias) == out
     assert not os.path.exists(os.path.join(out, "tombstones.parquet"))
+
+
+def test_cli_alias(cli_idx, capsys):
+    from engine.cli import main
+
+    alias = str(cli_idx["root"] / "a2.json")
+    assert main(["alias", alias, "--set", cli_idx["idx"]]) == 0
+    assert json.loads(capsys.readouterr().out)["index_dir"] == cli_idx["idx"]
+    assert main(["alias", alias]) == 0
+    assert json.loads(capsys.readouterr().out)["index_dir"] == cli_idx["idx"]

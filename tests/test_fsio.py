@@ -331,3 +331,20 @@ def test_racing_writers_byte_identical(tmp_path, monkeypatch):
         for t in threads:
             t.join()
         assert fsio.read_bytes(key) == data
+
+
+def test_rename_failure_reraises(tmp_path, monkeypatch):
+    """A failed rename must RAISE (POSIX rename replaces, so failure is
+    never a benign lost race) and leave no tmp litter — swallowing it
+    silently lost writes of mutable files (tombstones, alias)."""
+    p = str(tmp_path / "f.bin")
+
+    def boom(src, dst):
+        raise OSError(13, "Permission denied")
+
+    monkeypatch.setattr(os, "rename", boom)
+    with pytest.raises(OSError):
+        fsio.write_bytes(p, b"data")
+    with pytest.raises(OSError):
+        fsio.write_chunks(str(tmp_path / "g.bin"), [b"a", b"b"])
+    assert not [f for f in os.listdir(tmp_path) if ".tmp-" in f]
