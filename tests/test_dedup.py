@@ -382,3 +382,58 @@ def test_duplicate_passages_vs_local(ray_session):
     )
     assert got == want
     assert len(got) > 0  # the fixture corpus actually has shared passages
+
+
+def test_duplicate_passages_property(ray_session, tmp_path):
+    """Property check on adversarial micro-corpora: width boundaries
+    (doc length exactly/±1 a multiple of width), within-doc repeated
+    windows (must NOT count as cross-doc), empty docs, and multi-way
+    shares — engine == local replay for several widths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.dedup import duplicate_passages
+
+    V = ["a", "b", "c", "d"]
+    import random
+
+    rng = random.Random(7)
+    docs = []
+    # crafted cases for width=3
+    docs.append("x1 x2 x3")                    # exactly one window
+    docs.append("x1 x2 x3 tail")               # same window + ragged tail
+    docs.append("x1 x2 x3 x1 x2 x3")           # SAME window twice in ONE doc
+    docs.append("")                            # empty
+    docs.append("one two")                     # shorter than width
+    for d in range(40):                        # random small docs
+        n = rng.randint(0, 14)
+        docs.append(" ".join(rng.choice(V) for _ in range(n)))
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+
+    for W in (2, 3, 5):
+        by_text: dict[str, set[int]] = {}
+        occ = []
+        for i, t in enumerate(docs):
+            toks = [w for w in t.lower().split(" ") if w]
+            for j in range(len(toks) // W):
+                p = " ".join(toks[j * W : (j + 1) * W])
+                by_text.setdefault(p, set()).add(i)
+                occ.append((i, j, p))
+        want = sorted(
+            (i, j, len(by_text[p])) for i, j, p in occ if len(by_text[p]) >= 2
+        )
+        got = sorted(
+            (r["doc_id"], r["passage_idx"], r["n_docs_sharing"])
+            for r in duplicate_passages(sf, width=W).take_all()
+        )
+        assert got == want, W
+    # the within-one-doc repeat (doc 2) must NOT appear for width=3
+    # unless docs 0/1 share it — they do, so n_docs_sharing counts
+    # DISTINCT docs (3), not occurrences (4)
+    got3 = {
+        (r["doc_id"], r["passage_idx"]): r["n_docs_sharing"]
+        for r in duplicate_passages(sf, width=3).take_all()
+    }
+    assert got3[(2, 0)] == 3 and got3[(2, 1)] == 3
