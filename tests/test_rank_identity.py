@@ -105,3 +105,36 @@ def test_search_after_pagination(built_index):
 
     with _pt.raises(ValueError):
         rd.search(q["text"], 10, match="all", after=after)
+
+
+def test_dataset_query_input_identical(built_index):
+    """Feeding queries as a ray.data.Dataset takes the UNBOUNDED path
+    (per-query work items + distributed groupby merge, no driver-side
+    collect) — results must equal the bounded list-input path
+    row-for-row."""
+    import pyarrow as pa
+    import ray.data
+
+    queries = built_index["queries"][:12]
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in run_queries(
+            built_index["out"], queries, mode="wand", concurrency=(1, 2)
+        ).take_all()
+    )
+    qds = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [
+                {"query_id": int(q["query_id"]), "text": q["text"],
+                 "k": int(q.get("k", 10))}
+                for q in queries
+            ]
+        )
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in run_queries(
+            built_index["out"], qds, mode="wand", concurrency=(1, 2)
+        ).take_all()
+    )
+    assert got == want and len(got) > 0
