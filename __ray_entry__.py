@@ -881,6 +881,14 @@ def _q_duplicate_passages(sf_dir: str):
     return dedup.duplicate_passages(sf_dir, width=20)
 
 
+def _q_duplicate_passages_overlap(sf_dir: str):
+    """Overlapping variant (stride 10 < width 20): catches shifted
+    boilerplate a tiled window misses."""
+    from engine import dedup
+
+    return dedup.duplicate_passages(sf_dir, width=20, stride=10)
+
+
 def _q_simhash(sf_dir: str):
     from engine import dedup
 
@@ -1373,9 +1381,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_recall": _q_knn_recall,
         "knn_bruteforce": _q_knn_bruteforce,
         "dedup_clusters": _q_dedup_clusters,
-        "minhash_lsh_pairs": _q_minhash_pairs,
         "duplicate_passages": _q_duplicate_passages,
+        "duplicate_passages_overlap": _q_duplicate_passages_overlap,
         # ---- driver window (50) ends here ----
+        "minhash_lsh_pairs": _q_minhash_pairs,
         "hybrid_search": _q_hybrid_search,
         "snippets": _q_snippets,
         "stratified_sample": _q_stratified_sample,
@@ -3152,6 +3161,36 @@ pass AS (
          string_agg(tk, ' ' ORDER BY i) AS ptext
   FROM tp GROUP BY doc_id, i // 20
   HAVING count(*) = 20
+),
+shared AS (
+  SELECT ptext, count(DISTINCT doc_id) AS nd
+  FROM pass GROUP BY ptext HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT p.doc_id, CAST(p.pidx AS BIGINT) AS passage_idx,
+       CAST(s.nd AS BIGINT) AS n_docs_sharing
+FROM pass p JOIN shared s USING (ptext)
+""",
+        # overlapping variant: window j covers tokens [j*10, j*10+20)
+        "duplicate_passages_overlap": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, generate_subscripts(w, 1) - 1 AS i, unnest(w) AS tk FROM tok
+),
+nw AS (SELECT doc_id, count(*) AS n FROM tp GROUP BY doc_id),
+wins AS (
+  SELECT doc_id,
+         unnest(range(CASE WHEN n >= 20 THEN (n - 20) // 10 + 1 ELSE 0 END)) AS j
+  FROM nw
+),
+pass AS (
+  SELECT w.doc_id, w.j AS pidx,
+         string_agg(tp.tk, ' ' ORDER BY tp.i) AS ptext
+  FROM wins w JOIN tp ON tp.doc_id = w.doc_id
+       AND tp.i >= w.j * 10 AND tp.i < w.j * 10 + 20
+  GROUP BY w.doc_id, w.j
 ),
 shared AS (
   SELECT ptext, count(DISTINCT doc_id) AS nd

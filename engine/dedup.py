@@ -917,15 +917,21 @@ def dedup_clusters(
 # ---------------------------------------------------------------------------
 
 
-def duplicate_passages(sf_dir: str, width: int = 20) -> "ray.data.Dataset":
+def duplicate_passages(
+    sf_dir: str, width: int = 20, stride: int | None = None
+) -> "ray.data.Dataset":
     """Cross-document EXACT duplicate-passage detection — the
     substring-level dedup step large-scale curation pipelines run after
     whole-doc dedup (RefinedWeb/CCNet-style: repeated boilerplate,
     license headers, templated passages survive document-level dedup).
 
-    A passage is a NON-OVERLAPPING ``width``-token window of the
-    lowercase whitespace tokenization (ragged tails < width are
-    dropped: a partial window would spuriously match a full one).
+    A passage is a ``width``-token window of the lowercase whitespace
+    tokenization, advancing ``stride`` tokens per window (default:
+    ``stride = width`` — non-overlapping tiles; a smaller stride gives
+    OVERLAPPING windows that also catch boilerplate at a shifted
+    offset, at ``width/stride``× the passage volume).  Ragged tails
+    < width are dropped: a partial window would spuriously match a
+    full one.  Window j of a doc starts at token ``j*stride``.
     Output: one row per (doc_id, passage_idx) whose passage text occurs
     in >= 2 DISTINCT documents, with n_docs_sharing = that distinct-doc
     count.  Fully exact and SQL-replicable (the oracle replays windows
@@ -946,10 +952,14 @@ def duplicate_passages(sf_dir: str, width: int = 20) -> "ray.data.Dataset":
     """
     from .functions import fnv1a64_arr
 
+    step = width if stride is None else int(stride)
+    if step < 1 or width < 1:
+        raise ValueError(f"width/stride must be >= 1: {width}/{step}")
+
     def passages(batch: pa.Table) -> pa.Table:
         counts, flat = _tokens(batch)
         ids = batch.column("doc_id").to_numpy()
-        nwin = counts // width
+        nwin = np.where(counts >= width, (counts - width) // step + 1, 0)
         total = int(nwin.sum())
         if total == 0:
             return pa.table(
@@ -960,12 +970,15 @@ def duplicate_passages(sf_dir: str, width: int = 20) -> "ray.data.Dataset":
                     "passage_idx": pa.array([], pa.int64()),
                 }
             )
-        # token index of each kept token: per doc, the first
-        # nwin*width tokens starting at the doc's flat offset
+        # flat token index of every window token: window j of a doc at
+        # flat offset s covers [s + j*step, s + j*step + width)
         starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        kept = nwin * width
         sel = np.concatenate(
-            [np.arange(s, s + k) for s, k in zip(starts, kept) if k]
+            [
+                ((s + np.arange(n) * step)[:, None] + np.arange(width)).ravel()
+                for s, n in zip(starts, nwin)
+                if n
+            ]
         )
         win_tokens = flat.take(pa.array(sel, pa.int64()))
         offsets = pa.array(

@@ -412,13 +412,15 @@ def test_duplicate_passages_property(ray_session, tmp_path):
     sf = str(tmp_path)
     pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
 
-    for W in (2, 3, 5):
+    for W, S in ((2, None), (3, None), (5, None), (3, 1), (4, 2), (5, 3)):
+        step = W if S is None else S
         by_text: dict[str, set[int]] = {}
         occ = []
         for i, t in enumerate(docs):
             toks = [w for w in t.lower().split(" ") if w]
-            for j in range(len(toks) // W):
-                p = " ".join(toks[j * W : (j + 1) * W])
+            n = (len(toks) - W) // step + 1 if len(toks) >= W else 0
+            for j in range(n):
+                p = " ".join(toks[j * step : j * step + W])
                 by_text.setdefault(p, set()).add(i)
                 occ.append((i, j, p))
         want = sorted(
@@ -426,9 +428,9 @@ def test_duplicate_passages_property(ray_session, tmp_path):
         )
         got = sorted(
             (r["doc_id"], r["passage_idx"], r["n_docs_sharing"])
-            for r in duplicate_passages(sf, width=W).take_all()
+            for r in duplicate_passages(sf, width=W, stride=S).take_all()
         )
-        assert got == want, W
+        assert got == want, (W, S)
     # the within-one-doc repeat (doc 2) must NOT appear for width=3
     # unless docs 0/1 share it — they do, so n_docs_sharing counts
     # DISTINCT docs (3), not occurrences (4)
