@@ -180,6 +180,14 @@ def corpus_prep(
 
     dup_ds = pair_ds.map_batches(dup_ids, batch_format="pyarrow")
 
+    # Materialize the removal-id Datasets BEFORE the bounded probe:
+    # they are narrow (doc_id only) but expensive to compute, and on
+    # the past-cap path the anti-join below re-consumes them — without
+    # this the decontaminate/minhash pipelines would execute twice on
+    # exactly the heavily-duplicated corpora the join path targets
+    # (ADVICE r04).  Blocks live in the object store and spill.
+    cont_ds = cont_ds.materialize()
+    dup_ds = dup_ds.materialize()
     bad_c = bounded_ids(cont_ds, cap)
     bad_d = bounded_ids(dup_ds, cap) if bad_c is not None else None
 

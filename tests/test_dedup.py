@@ -302,8 +302,10 @@ def test_hot_shingle_bounded_lsh_default(ray_session, tmp_path):
     docs, the LSH substrate that dedup_clusters/corpus_prep now default
     to produces NO candidate blowup (the exact operator would emit
     B(B-1)/2 intermediate pairs for the hot bucket), and over-cap band
-    buckets (degenerate identical content) are SKIPPED, bounding pair
-    counts by max_bucket^2 per bucket."""
+    buckets (degenerate identical content) emit a min-representative
+    STAR — O(m) edges, connectivity preserved — bounding pair counts
+    by max_bucket^2 per full bucket and m per hot bucket (r5: skip ->
+    star, so the strongest duplicates are no longer recall-zero)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -324,16 +326,20 @@ def test_hot_shingle_bounded_lsh_default(ray_session, tmp_path):
     assert dedup.dedup_clusters(sf, n=3, threshold=0.5).take_all() == []
 
     # max_bucket cap: 12 identical docs collide in every band; with the
-    # cap below the clique size the bucket is skipped (bounded, the
-    # documented approximate-stage trade-off), above it the full clique
-    # is found and exact-verified
+    # cap below the clique size the bucket emits only the
+    # min-representative star (11 edges from doc 1000, exact-verified),
+    # above it the full clique is found and exact-verified
     ids2 = ids + list(range(1000, 1012))
     texts2 = texts + ["dup dup dup same text here"] * 12
     pq.write_table(
         pa.table({"doc_id": pa.array(ids2, pa.int64()), "text": pa.array(texts2)}),
         str(tmp_path / "documents.parquet"),
     )
-    assert dedup.minhash_lsh_pairs(sf, n=3, threshold=0.5, max_bucket=10).take_all() == []
+    star = dedup.minhash_lsh_pairs(sf, n=3, threshold=0.5, max_bucket=10).take_all()
+    assert sorted((r["a"], r["b"]) for r in star) == [
+        (1000, b) for b in range(1001, 1012)
+    ]
+    assert all(r["jaccard_r"] == 1.0 for r in star)
     found = dedup.minhash_lsh_pairs(sf, n=3, threshold=0.5, max_bucket=100).take_all()
     assert len(found) == 12 * 11 // 2
     assert all(r["jaccard_r"] == 1.0 for r in found)
@@ -439,3 +445,96 @@ def test_duplicate_passages_property(ray_session, tmp_path):
         for r in duplicate_passages(sf, width=3).take_all()
     }
     assert got3[(2, 0)] == 3 and got3[(2, 1)] == 3
+
+
+def test_minhash_broadcast_equals_join_path(ray_session, tmp_path):
+    """The bounded-broadcast guard (VERDICT r04 wrong #1): a duplicate
+    cluster large enough to trip pair_broadcast_max must flip exact
+    verification onto the distributed pair x shingle join path, and
+    the two paths must be output-identical (the prep.py
+    REMOVAL_BROADCAST_MAX precedent, applied to pairs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(13)
+    words = [f"w{i}" for i in range(400)]
+    ids, texts = [], []
+    # one 9-doc near-identical cluster (tripped cap: 9*8/2 = 36 pairs)
+    base = " ".join(rng.choice(words, size=40))
+    for i in range(9):
+        ids.append(i)
+        texts.append(base + f" tail{i % 3}")
+    # plus unrelated singletons
+    for i in range(9, 40):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(words, size=40)))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+
+    def norm(rows):
+        return sorted((r["a"], r["b"], r["jaccard_r"]) for r in rows)
+
+    broadcast = norm(dedup.minhash_lsh_pairs(sf, n=3, threshold=0.5).take_all())
+    joined = norm(
+        dedup.minhash_lsh_pairs(
+            sf, n=3, threshold=0.5, pair_broadcast_max=0
+        ).take_all()
+    )
+    assert broadcast, "fixture must produce near-dup pairs"
+    assert broadcast == joined
+
+
+def test_minhash_join_path_empty_candidates(ray_session, tmp_path):
+    """pair_broadcast_max=0 with NO candidate pairs at all: the empty
+    pair table must short-circuit on the broadcast path (prep's
+    empty-is-valid contract), not pay the join shuffle or crash."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(5)
+    words = [f"u{i}" for i in range(800)]
+    texts = [" ".join(rng.choice(words, size=30, replace=False)) for _ in range(20)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(20), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = dedup.minhash_lsh_pairs(
+        str(tmp_path), n=5, threshold=0.9, pair_broadcast_max=0
+    ).take_all()
+    assert got == []
+
+
+def test_ngram_jaccard_hot_group_guard(ray_session, tmp_path):
+    """NGRAM_EXACT_MAX_GROUP_DOCS guard boundary (VERDICT r04 task #2):
+    a shingle shared by MORE than max_group_docs docs raises with a
+    message pointing at minhash_lsh_pairs; exactly AT the bound the
+    exact operator still runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    words = [f"v{i}" for i in range(200)]
+    ids, texts = [], []
+    for i in range(12):
+        ids.append(i)
+        texts.append("hot hot hot " + " ".join(rng.choice(words, size=25)))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+    with pytest.raises(Exception, match="minhash_lsh_pairs"):
+        dedup.ngram_jaccard_pairs(sf, n=3, threshold=0.5, max_group_docs=11).take_all()
+    # at the bound (hot group has exactly 12 docs) the operator runs
+    ok = dedup.ngram_jaccard_pairs(
+        sf, n=3, threshold=0.99, max_group_docs=12
+    ).take_all()
+    assert isinstance(ok, list)
