@@ -538,3 +538,113 @@ def test_ngram_jaccard_hot_group_guard(ray_session, tmp_path):
         sf, n=3, threshold=0.99, max_group_docs=12
     ).take_all()
     assert isinstance(ok, list)
+
+
+def _local_passage_pairs(texts_by_id, width, step, n, thr):
+    """Python replay: windows -> shingle sets -> cross-doc jaccard."""
+    wins = {}
+    for did, text in texts_by_id.items():
+        toks = [w.lower() for w in text.split(" ") if w]
+        j = 0
+        while j * step + width <= len(toks):
+            w = toks[j * step : j * step + width]
+            sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+            wins[(did, j)] = sh
+            j += 1
+    out = {}
+    keys = sorted(wins, key=lambda k: k[0] * 1_000_000 + k[1])
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1 :]:
+            if ka[0] == kb[0]:
+                continue
+            sa, sb = wins[ka], wins[kb]
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= thr:
+                out[ka + kb] = round(jac, 6)
+    return out
+
+
+@pytest.fixture()
+def passage_fixture(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(21)
+    words = [f"p{i}" for i in range(300)]
+    boiler = [f"b{i}" for i in range(20)]  # the shared 20-token passage
+    edited = list(boiler)
+    edited[7] = "EDITED"  # one-token edit: defeats exact, not near-dup
+    texts_by_id = {}
+    for i in range(6):
+        body = list(rng.choice(words, size=30))
+        if i in (0, 1):
+            text = " ".join(boiler + body)  # exact shared passage
+        elif i == 2:
+            text = " ".join(edited + body)  # edited copy
+        else:
+            text = " ".join(body + list(rng.choice(words, size=20)))
+        texts_by_id[i] = text
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts_by_id), pa.int64()),
+                "text": pa.array([texts_by_id[i] for i in sorted(texts_by_id)]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path), texts_by_id
+
+
+def test_passage_jaccard_pairs_vs_local(ray_session, passage_fixture):
+    sf, texts_by_id = passage_fixture
+    width, step, n, thr = 20, 10, 3, 0.5
+    got = {
+        (r["doc_a"], r["idx_a"], r["doc_b"], r["idx_b"]): r["jaccard_r"]
+        for r in dedup.passage_jaccard_pairs(
+            sf, width=width, stride=step, n=n, threshold=thr
+        ).take_all()
+    }
+    want = _local_passage_pairs(texts_by_id, width, step, n, thr)
+    assert got == want
+    # the one-token edit is caught here but NOT by the exact operator
+    assert any(
+        {a, b} == {0, 2} or {a, b} == {1, 2} for (a, _, b, _) in got
+    ), "edited passage must appear as a near-dup pair"
+    exact_docs = {
+        (r["doc_id"])
+        for r in dedup.duplicate_passages(sf, width=width, stride=step).take_all()
+    }
+    assert 2 not in exact_docs  # exact-match dedup misses the edit
+
+
+def test_near_duplicate_passages_equals_exact_small(ray_session, passage_fixture):
+    """At test scale the banded path must find the exact pair set
+    (identical windows collide with probability 1; the edited pair's
+    jaccard ~0.71 gives banding recall ~0.999 with deterministic
+    hashes — pinned by equality here)."""
+    sf, _ = passage_fixture
+    kw = dict(width=20, stride=10, n=3, threshold=0.5)
+
+    def norm(rows):
+        return sorted(
+            (r["doc_a"], r["idx_a"], r["doc_b"], r["idx_b"], r["jaccard_r"])
+            for r in rows
+        )
+
+    exact = norm(dedup.passage_jaccard_pairs(sf, **kw).take_all())
+    approx = norm(dedup.near_duplicate_passages(sf, **kw).take_all())
+    assert exact and approx == exact
+
+
+def test_passage_dedup_recall_flag(ray_session, passage_fixture):
+    sf, _ = passage_fixture
+    t = dedup.passage_dedup_recall(sf, width=20, stride=10, n=3, threshold=0.5)
+    rows = t.to_pylist()
+    assert rows
+    assert all(r["lsh_ok"] == 1 for r in rows)
+    exact = dedup.passage_jaccard_pairs(
+        sf, width=20, stride=10, n=3, threshold=0.5
+    ).take_all()
+    assert len(rows) == len(exact)
