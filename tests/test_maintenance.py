@@ -137,3 +137,116 @@ def test_alias_flip(built, tmp_path):
     assert read_alias(alias) == dest
     rd2 = IndexReader(read_alias(alias))
     assert rd2.num_docs == rd.num_docs  # no tombstones -> same corpus
+
+
+def test_compact_crash_resume_and_alias_safety(built, tmp_path):
+    """Compaction crash safety (VERDICT r04 task #6): a compaction that
+    dies mid-rewrite leaves (a) the serving alias still on the OLD
+    index — the flip happens only after compact_index returns, (b) a
+    DETECTABLE partial destination (collection_stats.json is written
+    manifest-LAST, so a crash can never leave the done-marker next to
+    missing segments), and (c) a resumable state: compact_index(...,
+    resume=True) completes byte-identical to an uninterrupted
+    compaction, after which the flip serves rank-identical results."""
+    import shutil
+
+    from engine.checkpoint import completed_parts
+    from engine.maintenance import read_alias, write_alias
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(built["full"], idx)
+    head = IndexReader(idx).search(QTEXT, k=5)
+    delete_docs(idx, [h["doc_id"] for h in head[:2]])
+    alias = str(tmp_path / "alias.json")
+    write_alias(alias, idx)
+    want = IndexReader(idx).search(QTEXT, k=10)  # tombstone-filtered
+
+    # reference: an uninterrupted compaction
+    clean = str(tmp_path / "clean")
+    compact_index(idx, clean)
+
+    # crash simulation mid-rewrite: segments partially committed, the
+    # manifest-last done marker never written (the test_resume shape)
+    crashed = str(tmp_path / "crashed")
+    compact_index(idx, crashed)
+    for part in sorted(completed_parts(crashed))[:2]:
+        shutil.rmtree(os.path.join(crashed, "segments", f"seg-{part:05d}"))
+    os.remove(os.path.join(crashed, "collection_stats.json"))
+
+    # (a) the alias never pointed at the partial index
+    assert read_alias(alias) == idx
+    live = IndexReader(read_alias(alias)).search(QTEXT, k=10)
+    assert [(h["doc_id"], h["score"]) for h in live] == [
+        (h["doc_id"], h["score"]) for h in want
+    ]
+
+    # (b) the partial dest is detectable before any flip
+    assert not os.path.exists(os.path.join(crashed, "collection_stats.json"))
+    assert completed_parts(crashed) != completed_parts(clean)
+
+    # (c) resume -> byte-identical to the uninterrupted compaction;
+    # post-flip results equal the clean compaction's (NOT the
+    # tombstoned index's scores: compaction re-finalizes N/avgdl/df
+    # over the reduced corpus, the documented Lucene-merge semantics)
+    compact_index(idx, crashed, resume=True)
+    assert _hashes(crashed) == _hashes(clean)
+    write_alias(alias, crashed)
+    got = IndexReader(read_alias(alias)).search(QTEXT, k=10)
+    ref = IndexReader(clean).search(QTEXT, k=10)
+    assert [(h["doc_id"], h["score"]) for h in got] == [
+        (h["doc_id"], h["score"]) for h in ref
+    ]
+    # no tombstoned doc resurfaces through the resumed compaction
+    dead = set(read_tombstones(idx).tolist())
+    assert not ({h["doc_id"] for h in got} & dead)
+
+
+def test_reader_holds_old_generation_through_compaction(built, tmp_path):
+    """Out-of-place compaction contract: a reader constructed on the
+    old generation keeps serving IDENTICAL results while the rewrite
+    runs and after the alias flips (the old dir is untouched until the
+    caller retires it); new readers resolve through the alias to the
+    compacted index with the same tombstone-filtered ranking; retiring
+    the old dir leaves alias readers working."""
+    import shutil
+
+    from engine.maintenance import read_alias, write_alias
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(built["full"], idx)
+    head = IndexReader(idx).search(QTEXT, k=5)
+    delete_docs(idx, [head[0]["doc_id"]])
+    alias = str(tmp_path / "alias.json")
+    write_alias(alias, idx)
+
+    old_reader = IndexReader(idx)
+    warm = old_reader.search(QTEXT, k=10)  # warmed before compaction
+
+    dest = str(tmp_path / "gen2")
+    compact_index(idx, dest)
+    # mid-lifecycle: old reader unaffected by the rewrite
+    assert [
+        (h["doc_id"], h["score"]) for h in old_reader.search(QTEXT, k=10)
+    ] == [(h["doc_id"], h["score"]) for h in warm]
+
+    write_alias(alias, dest)
+    # old reader STILL serves after the flip (holds the old generation)
+    assert [
+        (h["doc_id"], h["score"]) for h in old_reader.search(QTEXT, k=10)
+    ] == [(h["doc_id"], h["score"]) for h in warm]
+    # new readers see the compacted generation (scores re-finalized
+    # over the reduced corpus — compare against its own reference),
+    # and the tombstoned doc stays gone
+    ref = IndexReader(dest).search(QTEXT, k=10)
+    fresh = IndexReader(read_alias(alias)).search(QTEXT, k=10)
+    assert [(h["doc_id"], h["score"]) for h in fresh] == [
+        (h["doc_id"], h["score"]) for h in ref
+    ]
+    assert head[0]["doc_id"] not in {h["doc_id"] for h in fresh}
+
+    # retire the old generation: alias readers keep working
+    shutil.rmtree(idx)
+    after = IndexReader(read_alias(alias)).search(QTEXT, k=10)
+    assert [(h["doc_id"], h["score"]) for h in after] == [
+        (h["doc_id"], h["score"]) for h in ref
+    ]
