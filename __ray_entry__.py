@@ -931,6 +931,21 @@ def _q_encode_documents(sf_dir: str):
     return encoder.encode_documents_flat(sf_dir, dim=16)
 
 
+def _q_encoded_knn(sf_dir: str):
+    """Chained encode -> ANN: fake-encoder vectors (dim 16)
+    materialized in the embeddings-table shape, then exact cosine
+    top-5 over them for the 10 lowest doc_ids — the full
+    text->vector->search path, projection AND ranking replayed in
+    SQL."""
+    import hashlib as _h
+
+    from engine import encoder, similarity
+
+    out = f"/tmp/graft_enc_{_h.md5(sf_dir.encode()).hexdigest()[:8]}"
+    encoder.encode_to_parquet(sf_dir, out, dim=16)
+    return similarity.knn_bruteforce(out, k=5, n_queries=10)
+
+
 def _q_simhash(sf_dir: str):
     from engine import dedup
 
@@ -1410,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         # -- new / touched this round (r5) --
         "encode_documents": _q_encode_documents,
+        "encoded_knn": _q_encoded_knn,
         "passage_jaccard_pairs": _q_passage_jaccard_pairs,
         "near_duplicate_passages": _q_near_duplicate_passages,
         "passage_dedup_recall": _q_passage_dedup_recall,
@@ -1425,8 +1441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verify_invariant": _q_verify_invariant,
         "knn_bruteforce": _q_knn_bruteforce,
         "dedup_exact": _q_dedup_exact,
-        "bm25_federated": _q_bm25_federated,
         # ---- driver window (50) ends here ----
+        "bm25_federated": _q_bm25_federated,
         "term_df": _q_term_df,
         "spell_suggest": _q_spell_suggest,
         "doc_lengths": _q_doc_lengths,
@@ -3339,6 +3355,66 @@ SELECT n2.doc_id, CAST(b.b AS BIGINT) AS dim,
              END, 6) AS value_r
 FROM n2 CROSS JOIN range(16) b(b)
 LEFT JOIN sv ON sv.doc_id = n2.doc_id AND sv.bucket = b.b
+""",
+        # chained encode -> exact cosine top-5: the projection CTE above
+        # feeding the standard cosine ranking (dot / norms, round6 —
+        # the knn_bruteforce oracle shape); query set = 10 lowest
+        # doc_ids among docs with >= 1 token; ties (cosine_r, vec_id)
+        "encoded_knn": """
+WITH toks AS (
+  SELECT d.doc_id, lower(u.tok) AS t
+  FROM documents d, unnest(string_split(d.text, ' ')) AS u(tok)
+  WHERE u.tok <> ''
+),
+hashed AS (
+  SELECT doc_id,
+    CAST(list_reduce(
+      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        list_transform(range(1, length(hx)//2 + 1), i ->
+          CAST(strpos('123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+             + strpos('123456789ABCDEF', substr(hx, 2*i, 1)) AS HUGEINT))),
+      (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616
+    ) AS UBIGINT) AS h
+  FROM (SELECT doc_id, t, hex(encode(t)) AS hx FROM toks)
+),
+occ AS (
+  SELECT doc_id, CAST(h % 16 AS BIGINT) AS bucket,
+         CASE WHEN (h >> 63) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+  FROM hashed
+),
+sv AS (SELECT doc_id, bucket, sum(sgn) AS s FROM occ GROUP BY doc_id, bucket),
+n2 AS (SELECT doc_id, sum(s * s) AS norm2 FROM sv GROUP BY doc_id),
+vec AS (
+  SELECT n2.doc_id, b.b AS d,
+         CASE WHEN n2.norm2 = 0 THEN 0.0
+              ELSE coalesce(sv.s, 0) / sqrt(CAST(n2.norm2 AS DOUBLE))
+         END AS v
+  FROM n2 CROSS JOIN range(16) b(b)
+  LEFT JOIN sv ON sv.doc_id = n2.doc_id AND sv.bucket = b.b
+),
+q AS (SELECT DISTINCT doc_id FROM vec ORDER BY doc_id LIMIT 10),
+norms AS (SELECT doc_id, sqrt(sum(v * v)) AS nm FROM vec GROUP BY doc_id),
+dots AS (
+  SELECT qv.doc_id AS query_id, dv.doc_id AS vec_id, sum(qv.v * dv.v) AS dp
+  FROM vec qv JOIN q ON qv.doc_id = q.doc_id
+  JOIN vec dv ON qv.d = dv.d
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT d.query_id, d.vec_id,
+         round(CASE WHEN nq.nm = 0 OR nv.nm = 0 THEN 0.0
+                    ELSE d.dp / (nq.nm * nv.nm) END, 6) AS cosine_r
+  FROM dots d JOIN norms nq ON nq.doc_id = d.query_id
+              JOIN norms nv ON nv.doc_id = d.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_r DESC, vec_id) AS rank
+  FROM cos
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine_r
+FROM ranked WHERE rank <= 5
 """,
     }
     # near_duplicate_passages shares the exact passage oracle for the

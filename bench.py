@@ -250,6 +250,8 @@ def run_dedup_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from engine import dedup
 
+    from engine import encoder
+
     ops = {
         "exact_dedup": lambda: dedup.exact_dedup(sf_dir),
         "ngram_jaccard_pairs": lambda: dedup.ngram_jaccard_pairs(sf_dir),
@@ -257,6 +259,10 @@ def run_dedup_bench(sf_dir: str, num_cpus: int) -> dict:
         "simhash_dup_pairs": lambda: dedup.simhash_dup_pairs(sf_dir),
         "embedding_dup_pairs": lambda: dedup.embedding_dup_pairs(sf_dir, threshold=0.4),
         "duplicate_passages": lambda: dedup.duplicate_passages(sf_dir),
+        "near_duplicate_passages": lambda: dedup.near_duplicate_passages(
+            sf_dir, width=20, stride=10
+        ),
+        "encode_documents": lambda: encoder.encode_documents(sf_dir),
     }
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
