@@ -153,6 +153,73 @@ def _q_bm25_topk_nostem(sf_dir: str):
     )
 
 
+# Multi-field (path-boosted) query set: each doc's corpus path is
+# docs/<id>.txt (FIXTURES F1b), so bare numbers are path-field terms
+# («path»<id>, df=1 — unique doc, tie-free at the head).  'docs'/'txt'
+# are deliberately absent: df=N terms score ~0 everywhere and
+# manufacture ties.  Multi-term, tie-scanned (round-2 lesson).
+_FIELDS_QUERIES = [
+    {"query_id": 0, "text": "149 data row", "k": 10},
+    {"query_id": 1, "text": "join 292 hash", "k": 10},
+    {"query_id": 2, "text": "scan filter 42", "k": 10},
+    {"query_id": 3, "text": "zzz_oov 7", "k": 10},
+    {"query_id": 4, "text": "merge 505 window", "k": 10},
+]
+_FIELDS_BOOST = 2.0
+
+
+def _build_fields_index(sf_dir: str) -> str:
+    """Fielded simple-analyzer index: corpus content + «path» tokens
+    (engine.corpus.with_field_tokens), cached under /tmp."""
+    from engine.build import build_index
+    from engine.corpus import read_corpus_from_documents, with_field_tokens
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"graft_idx_fields_v1_{tag}")
+    if not os.path.exists(os.path.join(out, "collection_stats.json")):
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(
+            with_field_tokens(
+                read_corpus_from_documents(sf_dir), fields=("path",)
+            ),
+            out,
+            num_parts=8,
+            analyzer="simple",
+            analyzer_concurrency=(1, 4),
+            source=sf_dir + "#fields",
+        )
+    return out
+
+
+def _q_bm25_fields_nostem(sf_dir: str):
+    """Multi-field BM25 (per-field boosts — Lucene multi-field query
+    shape): content terms at weight 1 plus «path»term postings at
+    weight 2 over a fielded index (corpus.with_field_tokens +
+    query.qterms_fields); rank identity vs refimpl.topk_fields is
+    pytest-pinned, the oracle replays tokenization + weighted scoring."""
+    from engine.query import run_queries
+
+    out = _build_fields_index(sf_dir)
+    res = run_queries(
+        out, _FIELDS_QUERIES, field_boosts={"path": _FIELDS_BOOST},
+        concurrency=(1, 4),
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 # Multi-term subset used for pagination: single-term queries ('merge')
 # tie raw scores within the top-22, and the engine tie-breaks on
 # internal doc_id while SQL uses source doc_id (the round-2 lesson) —
@@ -1429,6 +1496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_jaccard_pairs": _q_passage_jaccard_pairs,
         "near_duplicate_passages": _q_near_duplicate_passages,
         "passage_dedup_recall": _q_passage_dedup_recall,
+        "bm25_fields_nostem": _q_bm25_fields_nostem,
         "corpus_prep": _q_corpus_prep,
         "dedup_clusters": _q_dedup_clusters,
         "duplicate_passages": _q_duplicate_passages,
@@ -1440,8 +1508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_postings": _q_export_postings,
         "verify_invariant": _q_verify_invariant,
         "knn_bruteforce": _q_knn_bruteforce,
-        "dedup_exact": _q_dedup_exact,
         # ---- driver window (50) ends here ----
+        "dedup_exact": _q_dedup_exact,
         "bm25_federated": _q_bm25_federated,
         "term_df": _q_term_df,
         "spell_suggest": _q_spell_suggest,
@@ -1547,6 +1615,65 @@ ranked AS (
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
 FROM ranked WHERE rank BETWEEN {rank_lo} AND {rank_hi}
+"""
+
+
+def _bm25_fields_sql() -> str:
+    """Multi-field BM25 oracle: the token stream is content tokens
+    UNION ALL the three «path» tokens each doc's corpus path yields
+    (docs/<id>.txt — FIXTURES F1b); dl/avgdl include them.  Query
+    terms expand to (term, 1.0) + («path»term, boost); the weight
+    multiplies idf FIRST (the engine's weighted-TermIterator op
+    order; commutative, bit-equal)."""
+    vals = []
+    for q in _FIELDS_QUERIES:
+        seen = []
+        for t in q["text"].split(" "):
+            t = t.lower()
+            if t and t not in seen:
+                seen.append(t)
+        for t in seen:
+            vals.append(f"({q['query_id']}, '{t}', 1.0)")
+            vals.append(f"({q['query_id']}, '«path»{t}', {_FIELDS_BOOST})")
+    values = ", ".join(vals)
+    return f"""
+WITH ctok AS ({_TOK2}),
+ptok AS (
+  SELECT doc_id, '«path»docs' AS term FROM documents
+  UNION ALL SELECT doc_id, '«path»' || CAST(doc_id AS VARCHAR) FROM documents
+  UNION ALL SELECT doc_id, '«path»txt' FROM documents
+),
+tok AS (SELECT doc_id, term FROM ctok UNION ALL SELECT doc_id, term FROM ptok),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, w) AS (VALUES {values}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           (q.w * ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5)))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON q.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(round(score, 4) AS DOUBLE) AS score_r
+FROM ranked WHERE rank <= 10
 """
 
 
@@ -3424,6 +3551,7 @@ FROM ranked WHERE rank <= 5
     # hashes); the edited-passage recall path is pytest-pinned and
     # floor-checked by passage_dedup_recall.
     out["near_duplicate_passages"] = _PASSAGE_JACCARD_SQL
+    out["bm25_fields_nostem"] = _bm25_fields_sql()
     # minhash_lsh_pairs exact-verifies its candidates, and the banding
     # recall is exactly 1.0 at sf0.01 (deterministic hashes; soundness +
     # recall pytest-pinned), so its output equals the exact operator's

@@ -49,6 +49,52 @@ def documents_batch_to_corpus(batch: pa.Table) -> pa.Table:
     )
 
 
+# Field-token namespace marker: guillemets survive the SIMPLE
+# analyzer untouched (whitespace split, lower() no-op on punctuation)
+# and cannot be produced by whitespace tokenization of ordinary text.
+FIELD_MARK = "«{field}»"  # «path»term
+
+
+def with_field_tokens(
+    corpus: "ray.data.Dataset", fields: tuple[str, ...] = ("path",)
+) -> "ray.data.Dataset":
+    """Multi-field indexing transform (Lucene multi-field documents):
+    append each requested metadata field's tokens to ``content`` as
+    namespaced terms («field»token), so one ordinary build yields
+    per-field postings — per-field df/idf fall out of the shared
+    dictionary for free, and query-time boosts are just weighted terms
+    (IndexReader.qterms_fields / run_queries(field_boosts=...)).
+
+    Field values are lowercased and split on ``/ . -`` and whitespace
+    (path-segment tokenization).  SIMPLE-analyzer indexes only: the
+    whitespace tokenizer keeps «field»tok intact, while the code
+    tokenizer would strip the marker.  Shared doc length grows by the
+    field-token count (BM25F-lite: shared length normalization,
+    per-field idf/tf) — a fielded index is a distinct, self-consistent
+    configuration, rank-identical to refimpl over the same transformed
+    corpus.  Fully vectorized (two Arrow kernels per field).
+    """
+    import pyarrow.compute as pc
+
+    def add(batch: pa.Table) -> pa.Table:
+        content = batch.column("content")
+        for f in fields:
+            if f == "content":
+                continue
+            mark = FIELD_MARK.format(field=f)
+            vals = pc.utf8_lower(batch.column(f))
+            # "docs/5.txt" -> "«path»docs «path»5 «path»txt"
+            toks = pc.replace_substring_regex(vals, r"[/.\s-]+", " " + mark)
+            toks = pc.binary_join_element_wise(
+                pa.array([mark] * batch.num_rows), toks, ""
+            )
+            content = pc.binary_join_element_wise(content, toks, " ")
+        i = batch.schema.get_field_index("content")
+        return batch.set_column(i, "content", content)
+
+    return corpus.map_batches(add, batch_format="pyarrow")
+
+
 def union_corpora(corpora: list["ray.data.Dataset"]) -> "ray.data.Dataset":
     """D2: union of corpus shards -> one corpus Dataset.
 

@@ -222,6 +222,41 @@ class IndexReader:
             out.append((t, bm25.idf(df, self.num_docs)))
         return out
 
+    def qterms_fields(
+        self, text: str, boosts: dict
+    ) -> list[tuple[str, float]]:
+        """Multi-field weighted terms (BM25F-lite / Lucene
+        MultiFieldQueryParser shape): per analyzed query term, its
+        content posting weighted by ``boosts.get('content', 1.0)``,
+        then each boosted field's namespaced posting («field»term —
+        corpus.with_field_tokens) weighted by its boost, fields in
+        sorted-name order (deterministic float-sum order).  The weight
+        just scales the term's idf, so every scoring kernel (WAND
+        bounds included — upper bounds scale linearly) runs unchanged.
+        Per-field df/idf come from the namespaced dictionary entries;
+        zero/negative boosts drop the field."""
+        out: list[tuple[str, float]] = []
+        seen: set[str] = set()
+        wc = float(boosts.get("content", 1.0))
+        fields = sorted(f for f in boosts if f != "content")
+        for t in analyze_query(self.analyzer, text):
+            if t in seen:
+                continue
+            seen.add(t)
+            if wc > 0:
+                df = self._df(t, 0)
+                if df > 0:
+                    out.append((t, bm25.idf(df, self.num_docs) * wc))
+            for f in fields:
+                w = float(boosts[f])
+                if w <= 0:
+                    continue
+                ft = f"«{f}»{t}"
+                df = self._df(ft, 0)
+                if df > 0:
+                    out.append((ft, bm25.idf(df, self.num_docs) * w))
+        return out
+
     # -- dictionary term expansion (prefix / fuzzy query modes) --
     #
     # Expansion is PER SEGMENT against its sorted dictionary — never a
@@ -361,6 +396,7 @@ class IndexReader:
         match: str = "any", filter_lang: str | None = None,
         scorer: str = "bm25", slop: int = 2,
         after: "tuple[float, int] | None" = None,
+        field_boosts: dict | None = None,
     ) -> list[tuple[int, float]]:
         """Per-(query, segment) top-k -> [(doc_id, score)] best-first.
 
@@ -396,13 +432,14 @@ class IndexReader:
         if tomb:
             hits = self._score_segment_inner(
                 seg, text, k + len(tomb), mode, match, filter_lang, scorer,
-                slop, after,
+                slop, after, field_boosts,
             )
             return [
                 (int(seg.doc_ids[o]), s) for o, s in hits if o not in tomb
             ][:k]
         hits = self._score_segment_inner(
-            seg, text, k, mode, match, filter_lang, scorer, slop, after
+            seg, text, k, mode, match, filter_lang, scorer, slop, after,
+            field_boosts,
         )
         return [(int(seg.doc_ids[o]), s) for o, s in hits]
 
@@ -418,12 +455,21 @@ class IndexReader:
         self, seg, text: str, k: int, mode: str, match: str,
         filter_lang: str | None = None, scorer: str = "bm25",
         slop: int = 2, after: "tuple[float, int] | None" = None,
+        field_boosts: dict | None = None,
     ) -> list[tuple[int, float]]:
         if after is not None and (match != "any" or scorer != "bm25"):
             raise ValueError(
                 "search_after pagination is supported for disjunctive "
                 f"BM25 queries (match='any'), not match={match!r}/"
                 f"scorer={scorer!r}"
+            )
+        if field_boosts is not None and (
+            match != "any" or scorer != "bm25" or filter_lang is not None
+        ):
+            raise ValueError(
+                "field_boosts is supported for disjunctive BM25 queries "
+                f"(match='any', no filter_lang), not match={match!r}/"
+                f"scorer={scorer!r}/filter_lang={filter_lang!r}"
             )
         if scorer == "tfidf":
             # pluggable scorer kernel (SS2.10): classic TF-IDF,
@@ -507,7 +553,11 @@ class IndexReader:
                 return []
             hits = wand.auto_topk(seg, qt, k, self.avg_doc_len)
         elif match == "any":
-            qt = self.qterms(text)
+            qt = (
+                self.qterms_fields(text, field_boosts)
+                if field_boosts is not None
+                else self.qterms(text)
+            )
             if not qt:
                 return []
             if after is not None:
@@ -737,7 +787,8 @@ class IndexReader:
                match: str = "any", filter_lang: str | None = None,
                scorer: str = "bm25", collapse: str | None = None,
                slop: int = 2,
-               after: "tuple[float, int] | None" = None) -> list[dict]:
+               after: "tuple[float, int] | None" = None,
+               field_boosts: dict | None = None) -> list[dict]:
         """Single-process search across all segments (serving / latency
         benchmarks; same kernels as the distributed path).  ``collapse``
         ('repo' | 'lang'): return at most one doc — the best — per
@@ -770,7 +821,7 @@ class IndexReader:
             for seg_id in range(len(self.segment_paths)):
                 for doc_id, score in self.score_segment(
                     seg_id, text, k, mode, match, filter_lang, scorer, slop,
-                    after,
+                    after, field_boosts,
                 ):
                     cand.append((score, doc_id, seg_id))
             cand.sort(key=lambda c: (-c[0], c[1]))
@@ -799,7 +850,8 @@ class SegmentScorer:
     def __init__(self, index_dir, mode: str = "auto", match: str = "any",
                  filter_lang: str | None = None, scorer: str = "bm25",
                  collapse: str | None = None, slop: int = 2,
-                 sort_by_path: bool = False, stats_override: dict | None = None):
+                 sort_by_path: bool = False, stats_override: dict | None = None,
+                 field_boosts: dict | None = None):
         # index_dir may be a LIST for federated scoring: work items then
         # carry an `index_id` selecting the reader, so N indexes score
         # through ONE actor pool / one Ray job instead of N sequential
@@ -816,6 +868,7 @@ class SegmentScorer:
         self.collapse = collapse
         self.slop = slop
         self.sort_by_path = sort_by_path
+        self.field_boosts = field_boosts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()  # few work items; inner loops dominate
@@ -855,6 +908,7 @@ class SegmentScorer:
                     for did, score in rd.score_segment(
                         seg_id, text, k, self.mode, self.match,
                         self.filter_lang, self.scorer, self.slop, after,
+                        self.field_boosts,
                     )
                 ]
             for doc_id, score, ckey in hits3:
@@ -970,6 +1024,7 @@ def run_queries(
     slop: int = 2,
     sort_by_path: bool = False,
     stats_override: dict | None = None,
+    field_boosts: dict | None = None,
 ) -> "ray.data.Dataset":
     """Distributed query evaluation -> Dataset with RESULTS schema.
 
@@ -1058,7 +1113,7 @@ def run_queries(
             "index_dir": index_dir, "mode": mode, "match": match,
             "filter_lang": filter_lang, "scorer": scorer, "collapse": collapse,
             "slop": slop, "sort_by_path": sort_by_path,
-            "stats_override": stats_override,
+            "stats_override": stats_override, "field_boosts": field_boosts,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -102,6 +102,40 @@ class RefIndex:
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
 
+    def topk_fields(
+        self, text: str, k: int = 10, boosts: dict | None = None
+    ) -> list[tuple[int, float]]:
+        """Multi-field weighted BM25 (engine.query.qterms_fields
+        mirror): per analyzed term — content posting x
+        boosts['content'] (default 1.0), then each boosted field's
+        «field»term posting x its boost, fields in sorted-name order.
+        Weight scales idf BEFORE the tf multiply (same float-op order
+        as the engine's weighted TermIterator)."""
+        boosts = boosts or {}
+        wc = float(boosts.get("content", 1.0))
+        fields = sorted(f for f in boosts if f != "content")
+        weighted: list[tuple[str, float]] = []
+        for t in self.analyze_query(text):
+            if wc > 0 and self.postings.get(t):
+                weighted.append(
+                    (t, bm25.idf(len(self.postings[t]), self.num_docs) * wc)
+                )
+            for f in fields:
+                w = float(boosts[f])
+                ft = f"«{f}»{t}"
+                if w > 0 and self.postings.get(ft):
+                    weighted.append(
+                        (ft, bm25.idf(len(self.postings[ft]), self.num_docs) * w)
+                    )
+        scores: dict[int, float] = {}
+        for t, wt in weighted:
+            for did, tf in self.postings[t]:
+                scores[did] = scores.get(did, 0.0) + wt * bm25.tf_part(
+                    float(tf), float(self.doc_len[did]), self.avg_doc_len
+                )
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+        return ranked[:k]
+
     def topk_tfidf(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Classic TF-IDF scorer (bm25.tfidf_idf/tfidf_part): score =
         sum of idf^2 * sqrt(tf)/sqrt(dl), analyzed-term order."""
