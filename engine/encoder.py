@@ -163,7 +163,9 @@ def encode_documents_flat(
 ) -> "ray.data.Dataset":
     """The encoder output flattened to (doc_id, dim, value_r) scalar
     rows for the driver's DuckDB compare (the label_centroids
-    precedent); value_r is round6 half-away-from-zero."""
+    precedent); value_r is round6 half-away-from-zero.  Fake backend
+    only: the flatten assumes every vector has exactly ``dim``
+    entries (a model backend's dimensionality is the model's)."""
     from .functions import round6_signed
 
     def flatten(batch: pa.Table) -> pa.Table:
