@@ -72,7 +72,12 @@ def with_field_tokens(
     field-token count (BM25F-lite: shared length normalization,
     per-field idf/tf) — a fielded index is a distinct, self-consistent
     configuration, rank-identical to refimpl over the same transformed
-    corpus.  Fully vectorized (two Arrow kernels per field).
+    corpus.  Fully vectorized (a few Arrow kernels per field).
+
+    A null or token-free (empty / all-separator) field value skips
+    that field for that document: the doc keeps its content tokens
+    (null would otherwise propagate through the join and silently
+    null the ENTIRE content, dropping every posting of the doc).
     """
     import pyarrow.compute as pc
 
@@ -83,12 +88,21 @@ def with_field_tokens(
                 continue
             mark = FIELD_MARK.format(field=f)
             vals = pc.utf8_lower(batch.column(f))
+            # token-free values -> null, so the final skip-join leaves
+            # content untouched; trimming also stops a leading/trailing
+            # separator from minting a bare marker token
+            vals = pc.utf8_trim(vals, "/. \t\n\r\v\f-")
+            vals = pc.if_else(
+                pc.equal(vals, ""), pa.scalar(None, pa.string()), vals
+            )
             # "docs/5.txt" -> "«path»docs «path»5 «path»txt"
             toks = pc.replace_substring_regex(vals, r"[/.\s-]+", " " + mark)
             toks = pc.binary_join_element_wise(
                 pa.array([mark] * batch.num_rows), toks, ""
             )
-            content = pc.binary_join_element_wise(content, toks, " ")
+            content = pc.binary_join_element_wise(
+                content, toks, " ", null_handling="skip"
+            )
         i = batch.schema.get_field_index("content")
         return batch.set_column(i, "content", content)
 

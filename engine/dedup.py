@@ -637,9 +637,14 @@ def _verify_pairs_join(
     pair- or corpus-sized state ever reaches the driver."""
     from .textstats import _join_parts
 
+    # Materialize the shingle explosion ONCE: side_a and side_b both
+    # consume it, and unmaterialized lineage would re-read and
+    # re-shingle the full corpus twice (the prep.py cont_ds/dup_ds
+    # precedent).  Shingle rows are spillable; the blocks are reused
+    # by both joins.
     exploded = docs.map_batches(
         lambda b: _explode_shingles(b, n), batch_format="pyarrow"
-    )
+    ).materialize()
     side_a = exploded.map_batches(
         lambda t: t.rename_columns(["sh", "a_doc", "sz_a"]),
         batch_format="pyarrow",
@@ -1264,6 +1269,11 @@ def _passage_corpus(
     as duplicate_passages).  Row-EXPANDING (~width/step x the corpus
     text volume) — multi-pass consumers must materialize it first
     (CLAUDE.md fusion rule); at real scale write it to parquet."""
+    if step < 1 or width < 1:
+        # Same guard as duplicate_passages: step=0 floor-divides by
+        # zero inside _window_strings (numpy warns, yields one bogus
+        # window per doc) instead of erroring.
+        raise ValueError(f"width/stride must be >= 1: {width}/{step}")
     if docs is None:
         docs = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]

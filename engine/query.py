@@ -236,13 +236,11 @@ class IndexReader:
         Per-field df/idf come from the namespaced dictionary entries;
         zero/negative boosts drop the field."""
         out: list[tuple[str, float]] = []
-        seen: set[str] = set()
         wc = float(boosts.get("content", 1.0))
         fields = sorted(f for f in boosts if f != "content")
+        # analyze_query already dedups preserving first occurrence —
+        # same contract qterms/qterms_strict rely on.
         for t in analyze_query(self.analyzer, text):
-            if t in seen:
-                continue
-            seen.add(t)
             if wc > 0:
                 df = self._df(t, 0)
                 if df > 0:
@@ -806,6 +804,13 @@ class IndexReader:
             raise ValueError(
                 "search_after pagination is not supported with collapse"
             )
+        if field_boosts is not None and collapse is not None:
+            # The collapse branch routes through score_segment_collapsed,
+            # which has no boost plumbing; silently returning unboosted
+            # ranks labeled as boosted is worse than refusing.
+            raise ValueError(
+                "field_boosts is not supported with collapse"
+            )
         cand: list[tuple[float, int, int]] = []  # (score, doc_id, seg_id)
         if collapse is not None:
             by_val: dict[str, tuple[float, int, int]] = {}
@@ -856,6 +861,12 @@ class SegmentScorer:
         # carry an `index_id` selecting the reader, so N indexes score
         # through ONE actor pool / one Ray job instead of N sequential
         # pool spin-ups (VERDICT r03 task #4).
+        if field_boosts is not None and (collapse is not None or sort_by_path):
+            # Those branches score without boost plumbing; refuse at
+            # construction rather than emit unboosted ranks silently.
+            raise ValueError(
+                "field_boosts is not supported with collapse or sort_by_path"
+            )
         dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
         self.readers = [
             IndexReader(d, stats_override=stats_override) for d in dirs

@@ -648,3 +648,17 @@ def test_passage_dedup_recall_flag(ray_session, passage_fixture):
         sf, width=20, stride=10, n=3, threshold=0.5
     ).take_all()
     assert len(rows) == len(exact)
+
+
+def test_passage_entry_points_reject_bad_width_stride(passage_fixture):
+    """stride=0 would floor-divide by zero inside the window kernel
+    (numpy warns and yields one bogus window per doc) — every passage
+    entry point must raise up front, like duplicate_passages does."""
+    sf, _ = passage_fixture
+    for bad in ({"stride": 0}, {"stride": -1}, {"width": 0}):
+        with pytest.raises(ValueError, match="must be >= 1"):
+            dedup.passage_jaccard_pairs(sf, **bad)
+        with pytest.raises(ValueError, match="must be >= 1"):
+            dedup.near_duplicate_passages(sf, **bad)
+        with pytest.raises(ValueError, match="must be >= 1"):
+            dedup.duplicate_passages(sf, **bad)

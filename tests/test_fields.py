@@ -132,3 +132,38 @@ def test_unsupported_combinations_raise(fielded):
         rd.search("src", k=5, scorer="tfidf", field_boosts={"path": 1.0})
     with pytest.raises(ValueError, match="field_boosts"):
         rd.search("src", k=5, filter_lang="py", field_boosts={"path": 1.0})
+    # collapse/sort_by_path route through scoring paths with no boost
+    # plumbing — they must refuse rather than return unboosted ranks
+    with pytest.raises(ValueError, match="field_boosts"):
+        rd.search("src", k=5, collapse="repo", field_boosts={"path": 1.0})
+    from engine.query import SegmentScorer
+    with pytest.raises(ValueError, match="field_boosts"):
+        SegmentScorer(fielded["out"], collapse="repo",
+                      field_boosts={"path": 1.0})
+    with pytest.raises(ValueError, match="field_boosts"):
+        SegmentScorer(fielded["out"], sort_by_path=True,
+                      field_boosts={"path": 1.0})
+
+
+def test_null_and_empty_field_values_skip(ray_session):
+    """A null or token-free field value must leave the doc's content
+    untouched (not null the whole content column value)."""
+    rows = [
+        {"repo": "r", "path": None, "commit": "c", "lang": "py",
+         "content": "alpha beta"},
+        {"repo": "r", "path": "", "commit": "c", "lang": "py",
+         "content": "gamma"},
+        {"repo": "r", "path": " /-. ", "commit": "c", "lang": "py",
+         "content": "delta"},
+        {"repo": "r", "path": "/docs/a.txt", "commit": "c", "lang": "py",
+         "content": "eps"},
+    ]
+    got = with_field_tokens(
+        ray.data.from_arrow(pa.Table.from_pylist(rows)), fields=("path",)
+    ).take_all()
+    by = {r["content"].split()[0]: r["content"] for r in got}
+    assert by["alpha"] == "alpha beta"
+    assert by["gamma"] == "gamma"
+    assert by["delta"] == "delta"
+    # leading separator must not mint a bare «path» token
+    assert by["eps"] == "eps «path»docs «path»a «path»txt"
