@@ -1042,6 +1042,24 @@ def _q_knn_bruteforce(sf_dir: str):
     return similarity.knn_bruteforce(sf_dir, k=5, n_queries=10)
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    """int8 symmetric quantization, flattened to scalar rows; the SQL
+    oracle replays scale = max|x|/127 and half-away rounding exactly
+    (DuckDB round(x, 0)) — verified bit-equal at sf0.01."""
+    from engine import similarity
+
+    return similarity.quantize_embeddings_flat(sf_dir)
+
+
+def _q_knn_quantized(sf_dir: str):
+    """Asymmetric quantized search: float queries vs int8 corpus.
+    Exact SQL replay (quantize in a CTE, list_cosine_similarity,
+    rank) — scale cancels in cosine, so SQL scores the int lists."""
+    from engine import similarity
+
+    return similarity.knn_quantized(sf_dir, k=5, n_queries=10)
+
+
 def _q_knn_lsh(sf_dir: str):
     from engine import similarity
 
@@ -1491,6 +1509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         # -- new / touched this round (r5) --
+        "quantize_embeddings": _q_quantize_embeddings,
+        "knn_quantized": _q_knn_quantized,
         "encode_documents": _q_encode_documents,
         "encoded_knn": _q_encoded_knn,
         "passage_jaccard_pairs": _q_passage_jaccard_pairs,
@@ -1506,9 +1526,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_nostem": _q_bm25_topk_nostem,
         "collection_stats": _q_collection_stats,
         "export_postings": _q_export_postings,
+        # ---- driver window (50) ends here ----
         "verify_invariant": _q_verify_invariant,
         "knn_bruteforce": _q_knn_bruteforce,
-        # ---- driver window (50) ends here ----
         "dedup_exact": _q_dedup_exact,
         "bm25_federated": _q_bm25_federated,
         "term_df": _q_term_df,
@@ -2797,6 +2817,53 @@ FROM (SELECT label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
              unnest(CAST(embedding AS DOUBLE[])) AS v
       FROM embeddings)
 GROUP BY label, i
+""",
+        "quantize_embeddings": """
+WITH ev AS (
+  SELECT vec_id, CAST(u.i AS BIGINT) AS dim,
+         CAST(embedding[CAST(u.i AS BIGINT)] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+sc AS (
+  SELECT vec_id,
+         CASE WHEN max(abs(x)) = 0 THEN 1.0 ELSE max(abs(x)) / 127 END AS scale
+  FROM ev GROUP BY vec_id
+)
+SELECT ev.vec_id, ev.dim,
+       CAST(least(127, greatest(-127, round(ev.x / sc.scale, 0))) AS BIGINT) AS q,
+       round(sc.scale, 6) AS scale_r
+FROM ev JOIN sc USING (vec_id)
+""",
+        "knn_quantized": """
+WITH sc AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))) = 0
+              THEN 1.0
+              ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))) / 127
+         END AS scale
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(e, x -> least(127.0, greatest(-127.0,
+                                               round(x / scale, 0)))) AS ql
+  FROM sc
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings ORDER BY vec_id LIMIT 10),
+s AS (
+  SELECT q.query_id, v.vec_id,
+         round(list_cosine_similarity(v.ql, q.qe), 6) AS c
+  FROM q CROSS JOIN qv v
+),
+r AS (SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id) AS rk
+      FROM s)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, CAST(c AS DOUBLE) AS cosine_r
+FROM r WHERE rk <= 5
 """,
         "knn_bruteforce": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10),

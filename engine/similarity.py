@@ -680,3 +680,138 @@ def rrf_fuse(runs: list, k: int = 10, c: int = 60) -> pa.Table:
              ("doc_id", pa.int64()), ("rrf_r", pa.float64())]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (memory-efficient ANN serving layout)
+
+
+def _quantize_batch(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127
+    (1.0 for an all-zero vector), q = clip(round_half_away(x/scale),
+    -127, 127).  Half-away rounding matches DuckDB ``round(x, 0)``
+    (numpy's round is banker's — see engine.functions)."""
+    amax = np.abs(mat).max(axis=1)
+    scale = np.where(amax == 0.0, 1.0, amax / 127.0)
+    r = mat / scale[:, None]
+    q = np.clip(np.sign(r) * np.floor(np.abs(r) + 0.5), -127, 127)
+    return q.astype(np.int8), scale
+
+
+def quantize_embeddings(
+    sf_dir: str, docs: "ray.data.Dataset | None" = None
+) -> "ray.data.Dataset":
+    """Pure-map int8 quantization of the embedding column — the 4x
+    memory reduction that keeps a 100-TB ANN corpus resident: (vec_id,
+    q list<int8>, scale float64).  Dequantize as q * scale; cosine
+    needs no dequantization at all (the positive per-vector scale
+    cancels in normalization), so knn_quantized scores int8 vectors
+    directly.  Streaming, no exchange; write_parquet the result for
+    the serving layout (build_ivf_partitions composes unchanged)."""
+    ds = docs if docs is not None else ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        mat = np.vstack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        q, scale = _quantize_batch(mat)
+        n, d = q.shape
+        offs = np.arange(0, (n + 1) * d, d, dtype=np.int32)
+        ql = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(q.ravel(), pa.int8())
+        )
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "q": ql,
+                "scale": pa.array(scale, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def quantize_embeddings_flat(sf_dir: str) -> "ray.data.Dataset":
+    """The quantization flattened to (vec_id, dim, q, scale_r) scalar
+    rows for the driver's DuckDB compare (encode_documents_flat
+    precedent); dim is 1-based to match SQL list indexing, scale_r is
+    round6 (half-up — scales are positive)."""
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qcol = batch.column("q").combine_chunks()
+        flat = qcol.flatten()
+        lens = pc.list_value_length(qcol).to_numpy().astype(np.int64)
+        ids = batch.column("vec_id").to_numpy()
+        scale = round6(batch.column("scale").to_numpy())
+        dims = np.concatenate(
+            [np.arange(1, n + 1, dtype=np.int64) for n in lens]
+        ) if len(lens) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, lens), pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "q": flat.cast(pa.int64()),
+                "scale_r": pa.array(np.repeat(scale, lens), pa.float64()),
+            }
+        )
+
+    return quantize_embeddings(sf_dir).map_batches(
+        flatten, batch_format="pyarrow"
+    )
+
+
+def knn_quantized(
+    sf_dir: str, k: int = 5, n_queries: int = 10
+) -> "ray.data.Dataset":
+    """Asymmetric quantized search (the standard serving trade):
+    float queries against the int8-quantized corpus — cosine between
+    the int8 vector and the query equals cosine between the
+    DEQUANTIZED vector and the query (the positive scale cancels), so
+    no dequantization multiply is ever spent.  Same one-pass
+    partial-top-k / small-groupby-merge shape as knn_bruteforce;
+    negative similarities round via round6_signed (DuckDB parity).
+
+    Output: (query_id, rank, vec_id, cosine_r) — ranks total-ordered
+    by (rounded cosine desc, vec_id asc)."""
+    from .functions import round6_signed
+
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    ref = ray.put((q_ids, q_mat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy()
+        mat = np.vstack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        qz, _scale = _quantize_batch(mat)
+        m = _normalized(qz.astype(np.float64))
+        sims = round6_signed(qmat @ m.T)
+        kk = min(k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            row = sims[qi]
+            order = np.lexsort((ids, -row))[:kk]
+            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            out_v.append(ids[order])
+            out_s.append(row[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine_r": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_merge_topk(k), batch_format="pyarrow")
+    )

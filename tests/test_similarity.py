@@ -225,3 +225,86 @@ def test_knn_recall_entry(ray_session, sf_dir):
     assert len({r["lsh_ok"] for r in t}) == 1
     assert len({r["ivf_ok"] for r in t}) == 1
     assert t[0]["lsh_ok"] == 1 and t[0]["ivf_ok"] == 1
+
+
+def test_quantize_roundtrip_error_bound(ray_session, sf_dir):
+    """Dequantized values must be within scale/2 of the originals
+    element-wise (the symmetric-quantization guarantee), and q must
+    stay inside int8 range."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    orig = {
+        int(i): np.asarray(e, np.float64)
+        for i, e in zip(t.column("vec_id").to_pylist(),
+                        t.column("embedding").to_pylist())
+    }
+    rows = similarity.quantize_embeddings(sf_dir).take_all()
+    assert len(rows) == len(orig)
+    for r in rows:
+        q = np.asarray(r["q"], np.float64)
+        s = float(r["scale"])
+        x = orig[int(r["vec_id"])]
+        assert s > 0
+        assert np.abs(q).max() <= 127
+        assert np.abs(q * s - x).max() <= s / 2 + 1e-12, r["vec_id"]
+
+
+def test_quantize_flat_shape_and_values(ray_session, sf_dir):
+    """The flat driver shape: one row per (vec_id, 1-based dim), q
+    equal to the list entries, scale_r = round6(scale)."""
+    lists = {int(r["vec_id"]): r for r in
+             similarity.quantize_embeddings(sf_dir).take_all()}
+    flat = similarity.quantize_embeddings_flat(sf_dir).take_all()
+    dim = len(next(iter(lists.values()))["q"])
+    assert len(flat) == len(lists) * dim
+    seen_dims = set()
+    for r in flat[:3 * dim]:
+        src = lists[int(r["vec_id"])]
+        assert r["q"] == src["q"][r["dim"] - 1]
+        seen_dims.add(r["dim"])
+    assert min(seen_dims) == 1 and max(seen_dims) == dim
+
+
+def test_quantize_zero_vector(ray_session):
+    """All-zero embedding: scale falls back to 1.0 and q is all
+    zeros (no divide-by-zero)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[0.0, 0.0, 0.0], [1.0, -2.0, 0.5]],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    rows = {r["vec_id"]: r for r in
+            similarity.quantize_embeddings("", docs=docs).take_all()}
+    assert rows[1]["scale"] == 1.0
+    assert rows[1]["q"] == [0, 0, 0]
+    assert rows[2]["q"] == [64, -127, 32]  # scale = 2/127
+
+
+def test_knn_quantized_recall_and_determinism(ray_session, sf_dir):
+    """Quantized top-k recall vs brute force stays high (int8 on
+    64-dim vectors barely moves cosines), and two runs are
+    identical (pure function of the input)."""
+    k, nq = 5, 8
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             similarity.knn_bruteforce(sf_dir, k=k, n_queries=nq).take_all()}
+    got1 = similarity.knn_quantized(sf_dir, k=k, n_queries=nq).take_all()
+    got2 = similarity.knn_quantized(sf_dir, k=k, n_queries=nq).take_all()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_r"]) for r in rows
+    )
+    assert key(got1) == key(got2)
+    qz = {(r["query_id"], r["vec_id"]) for r in got1}
+    assert len(exact & qz) / len(exact) >= 0.9
