@@ -1042,6 +1042,45 @@ def _q_knn_bruteforce(sf_dir: str):
     return similarity.knn_bruteforce(sf_dir, k=5, n_queries=10)
 
 
+# Rerank query set: multi-term (single-term sets tie easily), scanned
+# tie-free at BOTH levels on sf0.01 — no raw BM25 tie straddling the
+# k0=20 candidate boundary, and no duplicate (jaccard_r, raw score)
+# pair in the reranked top k+2 (round-2/round-5 tie-scan rules).
+_RERANK_QUERIES = [
+    {"query_id": 0, "text": "join hash scan", "k": 10},
+    {"query_id": 1, "text": "customer order data row", "k": 10},
+    {"query_id": 2, "text": "filter batch merge", "k": 10},
+    {"query_id": 3, "text": "scan data group row", "k": 10},
+    {"query_id": 4, "text": "hash join filter customer", "k": 10},
+]
+
+
+def _q_rerank_topk(sf_dir: str):
+    """Two-stage serving: BM25 recall (k0=20) -> lexical-Jaccard
+    precision (k=10), both stages distributed; the SQL oracle replays
+    candidate selection, forward-index term sets (tok2 DISTINCT) and
+    the (jaccard desc, score desc) resort exactly."""
+    from engine import rerank
+
+    out = _build_simple_index(sf_dir)
+    t = rerank.rerank_topk(out, _RERANK_QUERIES, k=10, k0=20)
+    return pa.table(
+        {
+            "query_id": t.column("query_id"),
+            "rank": t.column("rank"),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "jaccard_r": t.column("jaccard_r"),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def _q_quantize_embeddings(sf_dir: str):
     """int8 symmetric quantization, flattened to scalar rows; the SQL
     oracle replays scale = max|x|/127 and half-away rounding exactly
@@ -1509,6 +1548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         # -- new / touched this round (r5) --
+        "rerank_topk": _q_rerank_topk,
         "quantize_embeddings": _q_quantize_embeddings,
         "knn_quantized": _q_knn_quantized,
         "encode_documents": _q_encode_documents,
@@ -1525,8 +1565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    every round's window) --
         "bm25_topk_nostem": _q_bm25_topk_nostem,
         "collection_stats": _q_collection_stats,
-        "export_postings": _q_export_postings,
         # ---- driver window (50) ends here ----
+        "export_postings": _q_export_postings,
         "verify_invariant": _q_verify_invariant,
         "knn_bruteforce": _q_knn_bruteforce,
         "dedup_exact": _q_dedup_exact,
@@ -1694,6 +1734,82 @@ ranked AS (
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(round(score, 4) AS DOUBLE) AS score_r
 FROM ranked WHERE rank <= 10
+"""
+
+
+def _rerank_sql(k: int = 10, k0: int = 20) -> str:
+    """Two-stage rerank oracle: BM25 candidate selection (rank <= k0,
+    strict tie-free boundary — scanned), Jaccard between the query's
+    distinct terms and the doc's DISTINCT token set (= the forward
+    index for the simple analyzer), resort by (rounded jaccard desc,
+    raw score desc, doc_id)."""
+    vals = []
+    for q in _RERANK_QUERIES:
+        seen = []
+        for t in q["text"].split(" "):
+            t = t.lower()
+            if t and t not in seen:
+                seen.append(t)
+        for t in seen:
+            vals.append(f"({q['query_id']}, '{t}')")
+    values = ", ".join(vals)
+    return f"""
+WITH tok2 AS ({_TOK2}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+         ) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dft ON q.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+cand0 AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS r0
+  FROM scores
+),
+c AS (SELECT * FROM cand0 WHERE r0 <= {k0}),
+dterms AS (SELECT DISTINCT doc_id, term FROM tok2
+           WHERE doc_id IN (SELECT doc_id FROM c)),
+dn AS (SELECT doc_id, count(*) AS dn FROM dterms GROUP BY doc_id),
+qn AS (SELECT query_id, count(*) AS qn FROM q GROUP BY query_id),
+inter AS (
+  SELECT c.query_id, c.doc_id, count(*) AS i
+  FROM c JOIN q ON q.query_id = c.query_id
+         JOIN dterms d ON d.doc_id = c.doc_id AND d.term = q.term
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT c.query_id, c.doc_id, c.score,
+         round(coalesce(i.i, 0) * 1.0
+               / (qn.qn + dn.dn - coalesce(i.i, 0)), 6) AS jaccard_r
+  FROM c JOIN qn ON qn.query_id = c.query_id
+         JOIN dn ON dn.doc_id = c.doc_id
+         LEFT JOIN inter i ON i.query_id = c.query_id AND i.doc_id = c.doc_id
+),
+rr AS (
+  SELECT query_id, doc_id, jaccard_r, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY jaccard_r DESC, score DESC, doc_id) AS rank
+  FROM jac
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, jaccard_r,
+       CAST(round(score, 4) AS DOUBLE) AS score_r
+FROM rr WHERE rank <= {k}
 """
 
 
@@ -2646,6 +2762,7 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
             f"CAST(round(avg(c), 6) AS DOUBLE) AS avg_doc_len FROM "
             f"(SELECT doc_id, count(*) AS c FROM ({_TOK2}) GROUP BY doc_id)"
         ),
+        "rerank_topk": _rerank_sql(),
         "bm25_topk_nostem": _bm25_sql(),
         # pagination: page 2 == the same ranking's ranks 11-20
         "bm25_paged_nostem": _bm25_sql(
