@@ -1042,6 +1042,44 @@ def _q_knn_bruteforce(sf_dir: str):
     return similarity.knn_bruteforce(sf_dir, k=5, n_queries=10)
 
 
+# minimum_should_match query set: 3-4 term disjunctive queries with
+# msm=2; scanned tie-free (no duplicate raw score in the msm-filtered
+# top-12) on sf0.01.
+_MSM_QUERIES = [
+    {"query_id": 0, "text": "join hash scan filter", "k": 10},
+    {"query_id": 1, "text": "customer order data", "k": 10},
+    {"query_id": 2, "text": "merge batch row group", "k": 10},
+    {"query_id": 3, "text": "scan order filter", "k": 10},
+    {"query_id": 4, "text": "data filter join order", "k": 10},
+]
+
+
+def _q_bm25_msm_nostem(sf_dir: str):
+    """minimum_should_match=2 (Lucene msm): disjunctive BM25 scoring,
+    candidates must contain >= 2 distinct query terms; the oracle adds
+    one nmatch >= 2 filter to the standard BM25 CTE."""
+    from engine.query import run_queries
+
+    out = _build_simple_index(sf_dir)
+    res = run_queries(out, _MSM_QUERIES, match="msm", msm=2,
+                      concurrency=(1, 4))
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "doc_id": pa.array(
+                [_source_doc_id(p) for p in t.column("path").to_pylist()],
+                pa.int64(),
+            ),
+            "score_r": pa.array(
+                [round(s, 4) for s in t.column("score").to_pylist()],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 # Rerank query set: multi-term (single-term sets tie easily), scanned
 # tie-free at BOTH levels on sf0.01 — no raw BM25 tie straddling the
 # k0=20 candidate boundary, and no duplicate (jaccard_r, raw score)
@@ -1548,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         # -- new / touched this round (r5) --
+        "bm25_msm_nostem": _q_bm25_msm_nostem,
         "rerank_topk": _q_rerank_topk,
         "quantize_embeddings": _q_quantize_embeddings,
         "knn_quantized": _q_knn_quantized,
@@ -1564,8 +1603,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- representative proven slice (keeps the core families in
         #    every round's window) --
         "bm25_topk_nostem": _q_bm25_topk_nostem,
-        "collection_stats": _q_collection_stats,
         # ---- driver window (50) ends here ----
+        "collection_stats": _q_collection_stats,
         "export_postings": _q_export_postings,
         "verify_invariant": _q_verify_invariant,
         "knn_bruteforce": _q_knn_bruteforce,
@@ -1623,7 +1662,7 @@ _TOK2 = f"SELECT doc_id, term FROM ({_TOK}) WHERE term <> ''"
 
 def _bm25_sql(conjunctive: bool = False, exclude_ids: list[int] | None = None,
               lang: str | None = None, rank_lo: int = 1, rank_hi: int = 10,
-              queries=None) -> str:
+              queries=None, min_match: int | None = None) -> str:
     vals = []
     for q in (queries if queries is not None else _BM25_QUERIES):
         seen = []
@@ -1637,7 +1676,8 @@ def _bm25_sql(conjunctive: bool = False, exclude_ids: list[int] | None = None,
     and_filter = (
         "JOIN qn ON scores.query_id = qn.query_id AND scores.nmatch = qn.n"
         if conjunctive
-        else ""
+        else (f"JOIN qn ON scores.query_id = qn.query_id "
+              f"AND scores.nmatch >= {min_match}" if min_match else "")
     )
     return f"""
 WITH tok2 AS ({_TOK2}),
@@ -2762,6 +2802,7 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
             f"CAST(round(avg(c), 6) AS DOUBLE) AS avg_doc_len FROM "
             f"(SELECT doc_id, count(*) AS c FROM ({_TOK2}) GROUP BY doc_id)"
         ),
+        "bm25_msm_nostem": _bm25_sql(queries=_MSM_QUERIES, min_match=2),
         "rerank_topk": _rerank_sql(),
         "bm25_topk_nostem": _bm25_sql(),
         # pagination: page 2 == the same ranking's ranks 11-20

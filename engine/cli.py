@@ -71,6 +71,7 @@ def cmd_query(args: argparse.Namespace) -> int:
 
     queries = _load_queries(args.queries, args.k)
     res = run_queries(args.index, queries, mode=args.mode, match=args.match,
+                      msm=args.msm,
                       filter_lang=args.lang, scorer=args.scorer,
                       collapse=args.collapse, slop=args.slop)
     table = res.to_pandas()
@@ -198,9 +199,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--mode", default="auto", choices=["auto", "wand", "exhaustive"])
     q.add_argument("--match", default="any",
                    choices=["any", "all", "phrase", "near", "not", "bool",
-                            "prefix", "fuzzy", "regex"])
+                            "prefix", "fuzzy", "regex", "msm"])
     q.add_argument("--slop", type=int, default=2,
                    help="proximity window slack for --match near")
+    q.add_argument("--msm", type=int, default=2,
+                   help="minimum distinct matching terms for --match msm")
     q.add_argument("--lang", default=None,
                    help="restrict results to one doc language (match=any)")
     q.add_argument("--scorer", default="bm25", choices=["bm25", "tfidf"])

@@ -394,7 +394,7 @@ class IndexReader:
         match: str = "any", filter_lang: str | None = None,
         scorer: str = "bm25", slop: int = 2,
         after: "tuple[float, int] | None" = None,
-        field_boosts: dict | None = None,
+        field_boosts: dict | None = None, msm: int = 2,
     ) -> list[tuple[int, float]]:
         """Per-(query, segment) top-k -> [(doc_id, score)] best-first.
 
@@ -430,14 +430,14 @@ class IndexReader:
         if tomb:
             hits = self._score_segment_inner(
                 seg, text, k + len(tomb), mode, match, filter_lang, scorer,
-                slop, after, field_boosts,
+                slop, after, field_boosts, msm,
             )
             return [
                 (int(seg.doc_ids[o]), s) for o, s in hits if o not in tomb
             ][:k]
         hits = self._score_segment_inner(
             seg, text, k, mode, match, filter_lang, scorer, slop, after,
-            field_boosts,
+            field_boosts, msm,
         )
         return [(int(seg.doc_ids[o]), s) for o, s in hits]
 
@@ -453,7 +453,7 @@ class IndexReader:
         self, seg, text: str, k: int, mode: str, match: str,
         filter_lang: str | None = None, scorer: str = "bm25",
         slop: int = 2, after: "tuple[float, int] | None" = None,
-        field_boosts: dict | None = None,
+        field_boosts: dict | None = None, msm: int = 2,
     ) -> list[tuple[int, float]]:
         if after is not None and (match != "any" or scorer != "bm25"):
             raise ValueError(
@@ -545,6 +545,13 @@ class IndexReader:
             hits = wand.near_topk(
                 seg, [t for t, _ in qt], qt, k, self.avg_doc_len, slop
             )
+        elif match == "msm":
+            # minimum_should_match (Lucene msm): disjunctive scoring,
+            # candidates must match >= msm distinct query terms
+            qt = self.qterms(text)
+            if not qt:
+                return []
+            hits = wand.msm_topk(seg, qt, msm, k, self.avg_doc_len)
         elif match in ("prefix", "fuzzy", "regex"):
             qt = self.qterms_expanded(seg, text, match)
             if not qt:
@@ -786,7 +793,8 @@ class IndexReader:
                scorer: str = "bm25", collapse: str | None = None,
                slop: int = 2,
                after: "tuple[float, int] | None" = None,
-               field_boosts: dict | None = None) -> list[dict]:
+               field_boosts: dict | None = None,
+               msm: int = 2) -> list[dict]:
         """Single-process search across all segments (serving / latency
         benchmarks; same kernels as the distributed path).  ``collapse``
         ('repo' | 'lang'): return at most one doc — the best — per
@@ -826,7 +834,7 @@ class IndexReader:
             for seg_id in range(len(self.segment_paths)):
                 for doc_id, score in self.score_segment(
                     seg_id, text, k, mode, match, filter_lang, scorer, slop,
-                    after, field_boosts,
+                    after, field_boosts, msm,
                 ):
                     cand.append((score, doc_id, seg_id))
             cand.sort(key=lambda c: (-c[0], c[1]))
@@ -856,7 +864,7 @@ class SegmentScorer:
                  filter_lang: str | None = None, scorer: str = "bm25",
                  collapse: str | None = None, slop: int = 2,
                  sort_by_path: bool = False, stats_override: dict | None = None,
-                 field_boosts: dict | None = None):
+                 field_boosts: dict | None = None, msm: int = 2):
         # index_dir may be a LIST for federated scoring: work items then
         # carry an `index_id` selecting the reader, so N indexes score
         # through ONE actor pool / one Ray job instead of N sequential
@@ -880,6 +888,7 @@ class SegmentScorer:
         self.slop = slop
         self.sort_by_path = sort_by_path
         self.field_boosts = field_boosts
+        self.msm = msm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()  # few work items; inner loops dominate
@@ -919,7 +928,7 @@ class SegmentScorer:
                     for did, score in rd.score_segment(
                         seg_id, text, k, self.mode, self.match,
                         self.filter_lang, self.scorer, self.slop, after,
-                        self.field_boosts,
+                        self.field_boosts, self.msm,
                     )
                 ]
             for doc_id, score, ckey in hits3:
@@ -1036,6 +1045,7 @@ def run_queries(
     sort_by_path: bool = False,
     stats_override: dict | None = None,
     field_boosts: dict | None = None,
+    msm: int = 2,
 ) -> "ray.data.Dataset":
     """Distributed query evaluation -> Dataset with RESULTS schema.
 
@@ -1125,6 +1135,7 @@ def run_queries(
             "filter_lang": filter_lang, "scorer": scorer, "collapse": collapse,
             "slop": slop, "sort_by_path": sort_by_path,
             "stats_override": stats_override, "field_boosts": field_boosts,
+            "msm": msm,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

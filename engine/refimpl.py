@@ -102,6 +102,31 @@ class RefIndex:
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
 
+    def topk_msm(self, text: str, k: int = 10, m: int = 2) -> list[tuple[int, float]]:
+        """minimum_should_match: disjunctive BM25 (same float-sum order
+        as topk), but only docs containing >= ``m`` distinct query
+        terms are candidates (engine.wand.msm_topk)."""
+        terms = self.analyze_query(text)
+        scores: dict[int, float] = {}
+        nmatch: dict[int, int] = {}
+        for t in terms:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            idf_t = bm25.idf(len(plist), self.num_docs)
+            for did, tf in plist:
+                contrib = idf_t * bm25.tf_part(
+                    float(tf), float(self.doc_len[did]), self.avg_doc_len
+                )
+                scores[did] = scores.get(did, 0.0) + contrib
+                nmatch[did] = nmatch.get(did, 0) + 1
+        mm = max(m, 1)
+        ranked = sorted(
+            ((d, s) for d, s in scores.items() if nmatch[d] >= mm),
+            key=lambda x: (-x[1], x[0]),
+        )
+        return ranked[:k]
+
     def topk_fields(
         self, text: str, k: int = 10, boosts: dict | None = None
     ) -> list[tuple[int, float]]:

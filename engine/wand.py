@@ -455,6 +455,50 @@ def exhaustive_topk(seg: Segment, qterms: list[tuple[str, float]], k: int,
     return [(int(o), float(scores[o])) for o in sel]
 
 
+def msm_topk(seg: Segment, qterms: list[tuple[str, float]], m: int, k: int,
+             avg_doc_len: float) -> list[tuple[int, float]]:
+    """minimum_should_match (Lucene msm): disjunctive BM25 scoring,
+    but only docs matching >= ``m`` DISTINCT query terms are
+    candidates.  Same vectorized accumulation (and the same
+    query-term-order float determinism) as exhaustive_topk, plus an
+    int32 per-doc match counter; ``qterms`` is deduped by
+    construction, so the counter counts distinct matched terms —
+    exactly the oracle's count(DISTINCT q.term).  m <= 1 degenerates
+    to disjunctive; m == len(qterms) to the conjunctive candidate
+    set."""
+    n = seg.num_docs
+    if n == 0:
+        return []
+    scores = np.zeros(n, dtype=np.float64)
+    nmatch = np.zeros(n, dtype=np.int32)
+    dl = seg.doc_lens
+    for term, idf in qterms:
+        row = seg.term_idx.get(term)
+        if row is None:
+            continue
+        ords, tfs = seg.decode_idx_cached(row)
+        if ords.size == 0:
+            continue
+        tf = tfs.astype(np.float64)
+        d = dl[ords]
+        contrib = idf * ((tf * (bm25.K1 + 1.0)) /
+                         (tf + bm25.K1 * (1.0 - bm25.B + bm25.B * (d / avg_doc_len))))
+        scores[ords] += contrib
+        nmatch[ords] += 1
+    cand = np.nonzero(nmatch >= max(m, 1))[0]
+    if cand.size == 0:
+        return []
+    sc = scores[cand]
+    if k > 0 and cand.size > 4 * k:
+        kth = np.partition(sc, cand.size - k)[cand.size - k]
+        keep = sc >= kth
+        cand = cand[keep]
+        sc = sc[keep]
+    order = np.lexsort((seg.doc_ids[cand], -sc))[:k]
+    sel = cand[order]
+    return [(int(o), float(scores[o])) for o in sel]
+
+
 def exhaustive_topk_tfidf(seg: Segment, qterms: list[tuple[str, float]],
                           k: int, exclude: "np.ndarray | None" = None,
                           ) -> list[tuple[int, float]]:

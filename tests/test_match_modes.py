@@ -446,3 +446,50 @@ def test_sort_by_path(built_index):
         assert keys == sorted(keys)
         n_nonempty += bool(got)
     assert n_nonempty >= 4
+
+
+def test_msm_rank_identity(built_index):
+    """minimum_should_match: engine ≡ refimpl for every m from 1 to
+    |terms|+1 (the last is empty unless a doc holds every term)."""
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    n_nonempty = 0
+    for q in built_index["queries"]:
+        nterms = len(set(ref.analyze_query(q["text"])))
+        for m in range(1, nterms + 2):
+            want = ref.topk_msm(q["text"], q["k"], m=m)
+            got = _pairs(rd.search(q["text"], q["k"], match="msm", msm=m))
+            _assert_same(got, want, (q["text"], m))
+            n_nonempty += bool(want)
+    assert n_nonempty >= 3
+
+
+def test_msm_degenerate_bounds(built_index):
+    """m<=1 equals plain disjunctive; m=|terms| equals the conjunctive
+    candidate set (scores are the same disjunctive sums)."""
+    ref = built_index["ref"]
+    rd = IndexReader(built_index["out"])
+    for q in built_index["queries"]:
+        any_hits = _pairs(rd.search(q["text"], q["k"], match="any",
+                                    mode="exhaustive"))
+        msm1 = _pairs(rd.search(q["text"], q["k"], match="msm", msm=1))
+        assert msm1 == any_hits, q["text"]
+        nterms = len(set(ref.analyze_query(q["text"])))
+        msm_all = _pairs(rd.search(q["text"], q["k"], match="msm",
+                                   msm=nterms))
+        all_ids = {d for d, _ in ref.topk_and(q["text"], q["k"] * 100)}
+        assert {d for d, _ in msm_all} <= all_ids or not all_ids, q["text"]
+
+
+def test_msm_distributed_equals_local(built_index):
+    qs = [{"query_id": i, "text": q["text"], "k": q["k"]}
+          for i, q in enumerate(built_index["queries"])]
+    res = run_queries(built_index["out"], qs, match="msm", msm=2,
+                      concurrency=(1, 2)).take_all()
+    rd = IndexReader(built_index["out"])
+    by_q: dict[int, list] = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for i, q in enumerate(built_index["queries"]):
+        want = _pairs(rd.search(q["text"], q["k"], match="msm", msm=2))
+        assert by_q.get(i, []) == want, q["text"]
