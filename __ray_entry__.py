@@ -1042,6 +1042,26 @@ def _q_knn_bruteforce(sf_dir: str):
     return similarity.knn_bruteforce(sf_dir, k=5, n_queries=10)
 
 
+# Stored-query bank for percolation (reverse search): mixed any/all
+# modes over the test vocabulary; integer outputs, exact oracle.
+_PERCOLATE_BANK = [
+    {"query_id": 0, "text": "join hash", "match": "any"},
+    {"query_id": 1, "text": "customer order data", "match": "all"},
+    {"query_id": 2, "text": "merge batch", "match": "all"},
+    {"query_id": 3, "text": "scan filter row group", "match": "any"},
+    {"query_id": 4, "text": "zzz_oov merge", "match": "any"},
+]
+
+
+def _q_percolate_routes(sf_dir: str):
+    """Percolation: documents stream once against the broadcast stored-
+    query bank; (doc_id, query_id, nmatch) with distinct-term match
+    counts — all integers, replayed exactly by a DISTINCT-token join."""
+    from engine import percolate
+
+    return percolate.percolate(sf_dir, _PERCOLATE_BANK)
+
+
 # minimum_should_match query set: 3-4 term disjunctive queries with
 # msm=2; scanned tie-free (no duplicate raw score in the msm-filtered
 # top-12) on sf0.01.
@@ -1586,6 +1606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         # -- new / touched this round (r5) --
+        "percolate_routes": _q_percolate_routes,
         "bm25_msm_nostem": _q_bm25_msm_nostem,
         "rerank_topk": _q_rerank_topk,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -1602,8 +1623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_passages_overlap": _q_duplicate_passages_overlap,
         # -- representative proven slice (keeps the core families in
         #    every round's window) --
-        "bm25_topk_nostem": _q_bm25_topk_nostem,
         # ---- driver window (50) ends here ----
+        "bm25_topk_nostem": _q_bm25_topk_nostem,
         "collection_stats": _q_collection_stats,
         "export_postings": _q_export_postings,
         "verify_invariant": _q_verify_invariant,
@@ -2802,6 +2823,22 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
             f"CAST(round(avg(c), 6) AS DOUBLE) AS avg_doc_len FROM "
             f"(SELECT doc_id, count(*) AS c FROM ({_TOK2}) GROUP BY doc_id)"
         ),
+        "percolate_routes": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, lower(u.tok) AS term
+  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+  WHERE u.tok <> ''
+),
+q(query_id, term, need) AS (VALUES (0, 'join', 1), (0, 'hash', 1), (1, 'customer', 3), (1, 'order', 3), (1, 'data', 3), (2, 'merge', 2), (2, 'batch', 2), (3, 'scan', 1), (3, 'filter', 1), (3, 'row', 1), (3, 'group', 1), (4, 'zzz_oov', 1), (4, 'merge', 1)),
+m AS (
+  SELECT t.doc_id, q.query_id, count(*) AS nmatch, min(q.need) AS need
+  FROM tok t JOIN q ON q.term = t.term
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(query_id AS BIGINT) AS query_id,
+       CAST(nmatch AS BIGINT) AS nmatch
+FROM m WHERE nmatch >= need
+""",
         "bm25_msm_nostem": _bm25_sql(queries=_MSM_QUERIES, min_match=2),
         "rerank_topk": _rerank_sql(),
         "bm25_topk_nostem": _bm25_sql(),
