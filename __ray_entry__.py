@@ -1042,6 +1042,42 @@ def _q_knn_bruteforce(sf_dir: str):
     return similarity.knn_bruteforce(sf_dir, k=5, n_queries=10)
 
 
+def _q_scrub_pii(sf_dir: str):
+    """PII masking over text with deterministically INJECTED url/email/
+    ip literals (the raw synthetic table has none): both engines build
+    the same augmented text, then mask with the same RE2 patterns —
+    pyarrow's regex kernels and DuckDB both run RE2, so counts and the
+    cleaned strings match bit-exact."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from engine.textanalysis import scrub_pii
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        s_id = pc.cast(ids, pa.string())
+        oct_ = pc.cast(
+            pa.array(ids.to_numpy() % 256, pa.int64()), pa.string()
+        )
+        n = batch.num_rows
+        lit = lambda x: pa.array([x] * n, pa.string())  # noqa: E731
+        text = pc.binary_join_element_wise(
+            batch.column("text"), lit(" user"), s_id, lit("@example.com"),
+            lit(" http://h"), s_id, lit(".test"), lit(" 10.1."), oct_,
+            lit(".7"), "",
+        )
+        return pa.table({"doc_id": ids, "text": text})
+
+    return scrub_pii(sf_dir, docs=docs.map_batches(
+        inject, batch_format="pyarrow"
+    ))
+
+
 # Stored-query bank for percolation (reverse search): mixed any/all
 # modes over the test vocabulary; integer outputs, exact oracle.
 _PERCOLATE_BANK = [
@@ -1607,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         # -- new / touched this round (r5) --
         "percolate_routes": _q_percolate_routes,
+        "scrub_pii": _q_scrub_pii,
         "bm25_msm_nostem": _q_bm25_msm_nostem,
         "rerank_topk": _q_rerank_topk,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -2823,6 +2860,27 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
             f"CAST(round(avg(c), 6) AS DOUBLE) AS avg_doc_len FROM "
             f"(SELECT doc_id, count(*) AS c FROM ({_TOK2}) GROUP BY doc_id)"
         ),
+        "scrub_pii": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' http://h' || CAST(doc_id AS VARCHAR) || '.test'
+              || ' 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t0
+  FROM documents
+),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t0, 'https?://[^\s]+')) AS n_url,
+              regexp_replace(t0, 'https?://[^\s]+', '<URL>', 'g') AS t1 FROM aug),
+s2 AS (SELECT doc_id, n_url,
+              len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_url, n_email,
+              len(regexp_extract_all(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+              regexp_replace(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t3 FROM s2)
+SELECT doc_id, CAST(n_url AS BIGINT) AS n_url,
+       CAST(n_email AS BIGINT) AS n_email, CAST(n_ip AS BIGINT) AS n_ip,
+       t3 AS clean
+FROM s3
+""",
         "percolate_routes": """
 WITH tok AS (
   SELECT DISTINCT doc_id, lower(u.tok) AS term

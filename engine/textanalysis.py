@@ -416,3 +416,44 @@ def repetition_scores(sf_dir: str, dup_w: int = 2) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(fn, batch_format="pyarrow")
+
+
+# PII scrub patterns, applied in THIS order (URLs first so an email
+# inside a URL is masked as part of the URL, never double-counted).
+# Both pyarrow.compute's regex kernels and DuckDB run RE2, so the
+# masking and the counts replay bit-exact in SQL (regexp_replace /
+# regexp_extract_all with the same patterns).
+PII_PATTERNS = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(
+    sf_dir: str, docs: "ray.data.Dataset | None" = None
+) -> "ray.data.Dataset":
+    """PII masking (the Dolma/RedPajama curation step): URLs, emails
+    and IPv4 literals are replaced by typed mask tokens, with per-doc
+    match counts — (doc_id, n_url, n_email, n_ip, clean).  One
+    streaming map, all RE2 kernels (pc.count_substring_regex +
+    pc.replace_substring_regex), no Python per row."""
+    import pyarrow.compute as pc
+
+    if docs is None:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        cols = {"doc_id": batch.column("doc_id")}
+        for name, pat, mask in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.count_substring_regex(text, pat).cast(
+                pa.int64()
+            )
+            text = pc.replace_substring_regex(text, pat, mask)
+        cols["clean"] = text
+        return pa.table(cols)
+
+    return docs.map_batches(scrub, batch_format="pyarrow")

@@ -124,3 +124,28 @@ def test_repetition_scores_vs_python(ray_session, sf_dir):
         assert abs(dup - (1.0 - len(grams) / tot)) < 1.5e-6, did
         nonzero_dup += dup > 0
     assert nonzero_dup > 100  # non-vacuous on this corpus
+
+
+def test_scrub_pii_masks_and_counts(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from engine.textanalysis import scrub_pii
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "see http://a.b/x?u=1 and bob@x.co or 10.2.3.4 end",
+            "url https://z.z/a@b.cd tail plus a.b-c%d@ex.org",
+            "nothing sensitive here",
+        ]),
+    }))
+    got = {r["doc_id"]: r for r in scrub_pii("", docs=docs).take_all()}
+    assert got[1]["clean"] == "see <URL> and <EMAIL> or <IP> end"
+    assert (got[1]["n_url"], got[1]["n_email"], got[1]["n_ip"]) == (1, 1, 1)
+    # an email inside a URL is masked AS the URL, never double-counted
+    assert got[2]["clean"] == "url <URL> tail plus <EMAIL>"
+    assert (got[2]["n_url"], got[2]["n_email"], got[2]["n_ip"]) == (1, 1, 0)
+    assert got[3]["clean"] == "nothing sensitive here"
+    assert (got[3]["n_url"], got[3]["n_email"], got[3]["n_ip"]) == (0, 0, 0)
