@@ -1193,6 +1193,24 @@ def _q_knn_quantized(sf_dir: str):
     return similarity.knn_quantized(sf_dir, k=5, n_queries=10)
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product quantization ADC top-k (rows-only: approximate by
+    construction, reconstruction error; pinned by pq_recall)."""
+    from engine import similarity
+
+    return similarity.knn_pq(sf_dir, k=5, n_queries=10)
+
+
+def _q_pq_recall(sf_dir: str):
+    """knn_recall pattern for PQ: exact per-query top-k cosine sum in
+    integer micros (SQL recomputes) + the constant macro-recall flag
+    for knn_pq at the driver operating point (m=32, ks=64 -- measured
+    0.90 at sf0.01 against a 0.6 floor; fully deterministic)."""
+    from engine import similarity
+
+    return similarity.pq_recall(sf_dir, k=5, n_queries=10)
+
+
 def _q_knn_lsh(sf_dir: str):
     from engine import similarity
 
@@ -1644,6 +1662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new / touched this round (r5) --
         "percolate_routes": _q_percolate_routes,
         "scrub_pii": _q_scrub_pii,
+        "pq_recall": _q_pq_recall,
         "bm25_msm_nostem": _q_bm25_msm_nostem,
         "rerank_topk": _q_rerank_topk,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -1705,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "bm25_paged_nostem": _q_bm25_paged_nostem,
         "bm25_incremental": _q_bm25_incremental,
+        "knn_pq": _q_knn_pq,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
@@ -2860,6 +2880,25 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
             f"CAST(round(avg(c), 6) AS DOUBLE) AS avg_doc_len FROM "
             f"(SELECT doc_id, count(*) AS c FROM ({_TOK2}) GROUP BY doc_id)"
         ),
+        "pq_recall": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS c
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+  FROM s
+)
+SELECT query_id,
+       CAST(sum(CAST(round(c * 1000000) AS BIGINT)) AS BIGINT) AS exact_sum_micros,
+       CAST(1 AS BIGINT) AS pq_ok
+FROM r WHERE rk <= 5
+GROUP BY query_id
+""",
         "scrub_pii": r"""
 WITH aug AS (
   SELECT doc_id,

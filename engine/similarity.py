@@ -815,3 +815,200 @@ def knn_quantized(
         .groupby("query_id")
         .map_groups(_merge_topk(k), batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's memory layout: the standard 100-TB
+# ANN compression — 64-dim float32 -> m uint8 codes = 32x)
+
+
+def train_pq_codebooks(
+    sf_dir: str, m: int = 32, ks: int = 64, iters: int = 4
+) -> np.ndarray:
+    """Deterministic distributed PQ training: the vector space splits
+    into ``m`` contiguous subspaces; each gets a ``ks``-centroid L2
+    k-means codebook (Lloyd), seeded from the ks lowest vec_ids'
+    subvectors (the train_ivf_centroids determinism rule).  One
+    streaming map_batches pass per iteration emits per-(subspace,
+    centroid) partial (sum, count) rows; the driver holds only the
+    [m x ks x d/m] codebook tensor.  Vectors are L2-normalized first
+    (cosine-oriented PQ), so ADC dot products approximate cosine."""
+    seed_ids, seed_mat = _load_queries(sf_dir, ks)
+    d = seed_mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sd = d // m
+    books = np.ascontiguousarray(
+        seed_mat.reshape(ks, m, sd).transpose(1, 0, 2)
+    )  # [m, ks, sd]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    for _ in range(iters):
+        ref = ray.put(books)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            bk = ray.get(ref)
+            mm, kk, ssd = bk.shape
+            x = _normalized(
+                np.vstack(
+                    batch.column("embedding").to_numpy(zero_copy_only=False)
+                ).astype(np.float64)
+            ).reshape(-1, mm, ssd)
+            sums = np.zeros((mm, kk, ssd), np.float64)
+            counts = np.zeros((mm, kk), np.int64)
+            for mi in range(mm):  # m is small (8); inner work vectorized
+                xm = x[:, mi, :]
+                d2 = ((xm[:, None, :] - bk[mi][None, :, :]) ** 2).sum(-1)
+                a = np.argmin(d2, axis=1)
+                np.add.at(sums[mi], a, xm)
+                counts[mi] = np.bincount(a, minlength=kk)
+            sub = np.repeat(np.arange(mm, dtype=np.int64), kk)
+            cen = np.tile(np.arange(kk, dtype=np.int64), mm)
+            return pa.table(
+                {
+                    "sub": pa.array(sub, pa.int64()),
+                    "cen": pa.array(cen, pa.int64()),
+                    "vsum": pa.array(
+                        list(sums.reshape(mm * kk, ssd)),
+                        pa.list_(pa.float64()),
+                    ),
+                    "n": pa.array(counts.reshape(-1), pa.int64()),
+                }
+            )
+
+        rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(books)
+        counts = np.zeros((m, ks), np.int64)
+        for r in rows:
+            sums[r["sub"], r["cen"]] += np.asarray(r["vsum"], np.float64)
+            counts[r["sub"], r["cen"]] += r["n"]
+        nonempty = counts > 0
+        books[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+    return books
+
+
+def _pq_encode(x_norm: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """[n x d] normalized vectors -> [n x m] uint8 centroid codes
+    (argmin L2 per subspace)."""
+    mm, kk, sd = books.shape
+    x = x_norm.reshape(len(x_norm), mm, sd)
+    codes = np.empty((len(x_norm), mm), np.uint8)
+    for mi in range(mm):
+        d2 = ((x[:, mi, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+        codes[:, mi] = np.argmin(d2, axis=1)
+    return codes
+
+
+def knn_pq(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    m: int = 32,
+    ks: int = 64,
+    iters: int = 4,
+    codebooks: "np.ndarray | None" = None,
+) -> "ray.data.Dataset":
+    """PQ top-k by asymmetric distance computation (ADC): per query a
+    [m x ks] dot-product table against the codebooks is built ONCE;
+    each corpus vector then scores as m table lookups over its uint8
+    codes — no float vector is ever touched at query time, which is
+    the point of the layout at 100 TB.  Same one-pass partial-top-k /
+    groupby-merge shape as knn_bruteforce.  Approximate by
+    construction (reconstruction error); recall pinned by pq_recall.
+
+    Output: (query_id, rank, vec_id, cosine_r) where cosine_r is the
+    ADC approximation, round6_signed."""
+    from .functions import round6_signed
+
+    books = (
+        codebooks if codebooks is not None
+        else train_pq_codebooks(sf_dir, m=m, ks=ks, iters=iters)
+    )
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    mm, kk, sd = books.shape
+    # T[q, m, ks] = q_subvector . centroid
+    tables = np.einsum("qms,mks->qmk", q_mat.reshape(len(q_mat), mm, sd), books)
+    ref = ray.put((q_ids, tables, books))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, tbl, bk = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy()
+        x = _normalized(
+            np.vstack(
+                batch.column("embedding").to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+        )
+        codes = _pq_encode(x, bk)
+        nq = len(qids)
+        # sims[q, n] = sum_m tbl[q, m, codes[n, m]]
+        sims = np.zeros((nq, len(ids)), np.float64)
+        for mi in range(bk.shape[0]):
+            sims += tbl[:, mi, codes[:, mi]]
+        sims = round6_signed(sims)
+        kk2 = min(k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(nq):
+            row = sims[qi]
+            order = np.lexsort((ids, -row))[:kk2]
+            out_q.append(np.full(kk2, qids[qi], dtype=np.int64))
+            out_v.append(ids[order])
+            out_s.append(row[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine_r": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_merge_topk(k), batch_format="pyarrow")
+    )
+
+
+def pq_recall(
+    sf_dir: str, k: int = 5, n_queries: int = 10, floor: float = 0.6
+) -> pa.Table:
+    """Recall oracle for PQ (the knn_recall pattern): per query the
+    EXACT top-k cosine sum in integer micros (SQL recomputes it from
+    the embeddings table) plus the constant macro-recall@k-vs-exact
+    flag for knn_pq at the driver operating point."""
+    from .functions import micro_signed
+
+    exact = knn_bruteforce(sf_dir, k=k, n_queries=n_queries).take_all()
+    approx = knn_pq(sf_dir, k=k, n_queries=n_queries).take_all()
+    ap_q: dict[int, set[int]] = {}
+    for r in approx:
+        ap_q.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    ex_rows: dict[int, list[dict]] = {}
+    for r in exact:
+        ex_rows.setdefault(int(r["query_id"]), []).append(r)
+    recs = []
+    for qid, rows in ex_rows.items():
+        ex_ids = {int(r["vec_id"]) for r in rows}
+        recs.append(len(ex_ids & ap_q.get(qid, set())) / len(ex_ids))
+    pq_ok = int((float(np.mean(recs)) if recs else 0.0) >= floor)
+    out = []
+    for qid in sorted(ex_rows):
+        micros = int(
+            micro_signed(
+                np.array([r["cosine_r"] for r in ex_rows[qid]])
+            ).sum()
+        )
+        out.append(
+            {"query_id": qid, "exact_sum_micros": micros, "pq_ok": pq_ok}
+        )
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("exact_sum_micros", pa.int64()),
+             ("pq_ok", pa.int64())]
+        ),
+    )

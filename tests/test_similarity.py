@@ -308,3 +308,57 @@ def test_knn_quantized_recall_and_determinism(ray_session, sf_dir):
     assert key(got1) == key(got2)
     qz = {(r["query_id"], r["vec_id"]) for r in got1}
     assert len(exact & qz) / len(exact) >= 0.9
+
+
+def test_pq_deterministic_and_recall(ray_session, sf_dir):
+    """PQ training/encoding/search are pure deterministic functions;
+    macro recall@5 vs brute force meets the driver floor with margin
+    (measured 0.90 at the m=32/ks=64 operating point)."""
+    books1 = similarity.train_pq_codebooks(sf_dir)
+    books2 = similarity.train_pq_codebooks(sf_dir)
+    assert np.array_equal(books1, books2)
+    assert books1.shape == (32, 64, 2)
+    got1 = similarity.knn_pq(sf_dir, k=5, n_queries=8,
+                             codebooks=books1).take_all()
+    got2 = similarity.knn_pq(sf_dir, k=5, n_queries=8,
+                             codebooks=books1).take_all()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_r"]) for r in rows
+    )
+    assert key(got1) == key(got2)
+    exact = similarity.knn_bruteforce(sf_dir, k=5, n_queries=8).take_all()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in got1:
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recs = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert float(np.mean(recs)) >= 0.6
+
+
+def test_pq_encode_reconstruction_improves_with_ks(ray_session, sf_dir):
+    """More centroids per subspace must not increase reconstruction
+    error (k-means refinement sanity)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["embedding"])
+    x = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False)
+                  ).astype(np.float64)
+    norms = np.linalg.norm(x, axis=1); norms[norms == 0] = 1
+    x = x / norms[:, None]
+
+    def recon_err(m, ks):
+        bk = similarity.train_pq_codebooks(sf_dir, m=m, ks=ks, iters=3)
+        codes = similarity._pq_encode(x, bk)
+        rec = np.concatenate(
+            [bk[mi][codes[:, mi]] for mi in range(m)], axis=1
+        )
+        return float(((x - rec) ** 2).sum(axis=1).mean())
+
+    assert recon_err(16, 32) <= recon_err(16, 8) + 1e-12
+
+
+def test_pq_dim_guard(ray_session, sf_dir):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.train_pq_codebooks(sf_dir, m=7)
