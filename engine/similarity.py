@@ -823,7 +823,8 @@ def knn_quantized(
 
 
 def train_pq_codebooks(
-    sf_dir: str, m: int = 32, ks: int = 64, iters: int = 4
+    sf_dir: str, m: int = 32, ks: int = 64, iters: int = 4,
+    sample_rows: int = 200_000,
 ) -> np.ndarray:
     """Deterministic distributed PQ training: the vector space splits
     into ``m`` contiguous subspaces; each gets a ``ks``-centroid L2
@@ -832,7 +833,13 @@ def train_pq_codebooks(
     streaming map_batches pass per iteration emits per-(subspace,
     centroid) partial (sum, count) rows; the driver holds only the
     [m x ks x d/m] codebook tensor.  Vectors are L2-normalized first
-    (cosine-oriented PQ), so ADC dot products approximate cosine."""
+    (cosine-oriented PQ), so ADC dot products approximate cosine.
+
+    Training reads at most ``sample_rows`` vectors (``ds.limit`` —
+    streaming, early-stopping): codebook quality saturates on a sample
+    (standard PQ practice), and the driver-side partial volume per
+    iteration stays bounded by sampled-batches x m x ks instead of
+    growing with the corpus."""
     seed_ids, seed_mat = _load_queries(sf_dir, ks)
     d = seed_mat.shape[1]
     if d % m:
@@ -844,7 +851,7 @@ def train_pq_codebooks(
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-    )
+    ).limit(sample_rows)
     for _ in range(iters):
         ref = ray.put(books)
 
