@@ -282,6 +282,66 @@ def run_dedup_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def run_serving_bench(sf_dir: str, num_cpus: int) -> dict:
+    """Wall time of the round-5 serving/curation operator family:
+    quantization, quantized/PQ ANN, percolation, PII scrub, two-stage
+    rerank, minimum_should_match (each consumed with count()/num_rows
+    after a warm-up pass)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from engine import percolate, rerank, similarity
+    from engine.build import build_index
+    from engine.corpus import read_corpus_from_documents
+    from engine.query import run_queries
+    from engine.textanalysis import scrub_pii
+
+    idx = os.path.join(tempfile.gettempdir(), f"graft_serving_{_sf_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(idx, "build_manifest.json")):
+        shutil.rmtree(idx, ignore_errors=True)
+        build_index(read_corpus_from_documents(sf_dir), idx, num_parts=16,
+                    analyzer="simple")
+    bank = [{"query_id": i, "text": f"join hash scan filter row {i}",
+             "match": "any"} for i in range(100)]
+    rq = [{"query_id": i, "text": t, "k": 10} for i, t in enumerate(
+        ["join hash scan", "customer order data row", "filter batch merge",
+         "scan data group row", "hash join filter customer"])]
+    books = similarity.train_pq_codebooks(sf_dir)
+
+    ops = {
+        "quantize_embeddings": lambda: similarity.quantize_embeddings(sf_dir).count(),
+        "knn_quantized": lambda: similarity.knn_quantized(sf_dir, k=5, n_queries=10).count(),
+        "knn_pq_adc": lambda: similarity.knn_pq(sf_dir, k=5, n_queries=10,
+                                                codebooks=books).count(),
+        "percolate_100q": lambda: percolate.percolate(sf_dir, bank).count(),
+        "scrub_pii": lambda: scrub_pii(sf_dir).count(),
+        "rerank_topk": lambda: rerank.rerank_topk(idx, rq, k=10, k0=20).num_rows,
+        "bm25_msm": lambda: run_queries(idx, rq, match="msm", msm=2,
+                                        concurrency=(1, 4)).count(),
+    }
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in ops.items():
+        fn()  # warm-up
+        t0 = time.perf_counter()
+        rows[name] = int(fn())
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return {
+        "metric": "serving/curation family wall time (round-5 operators)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": _sf_tag(sf_dir),
+        "num_cpus": num_cpus,
+    }
+
+
 def run_scaling(sf_dir: str, repeat: int, cpus_lo: int, cpus_hi: int) -> dict:
     """Same job, two fresh processes at cpus_lo and cpus_hi."""
     runs = {}
@@ -339,6 +399,8 @@ def main() -> None:
                     help="benchmark the dedup/near-dup operator family instead")
     ap.add_argument("--modes", action="store_true",
                     help="benchmark warm latency of every query mode")
+    ap.add_argument("--serving", action="store_true",
+                    help="benchmark the round-5 serving/curation family")
     ap.add_argument("--cpus-lo", type=int, default=2)
     ap.add_argument("--cpus-hi", type=int, default=8)
     args = ap.parse_args()
@@ -356,6 +418,12 @@ def main() -> None:
     elif args.modes:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         result = run_modes_bench(args.sf_dir, num_cpus, args.repeat)
+        import ray
+
+        ray.shutdown()
+    elif args.serving:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        result = run_serving_bench(args.sf_dir, num_cpus)
         import ray
 
         ray.shutdown()
