@@ -1089,6 +1089,21 @@ _PERCOLATE_BANK = [
 ]
 
 
+def _q_profile_orders(sf_dir: str):
+    """Per-column data-quality profile of the orders table (numeric
+    columns, so every output field is non-null): exact row/null/
+    distinct counts, round6 min/max, order-independent micros sums."""
+    from engine import profile
+
+    t = profile.profile_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return t.select(
+        ["column", "n_rows", "n_nulls", "n_distinct", "min_r", "max_r",
+         "sum_micros"]
+    )
+
+
 def _q_percolate_routes(sf_dir: str):
     """Percolation: documents stream once against the broadcast stored-
     query bank; (doc_id, query_id, nmatch) with distinct-term match
@@ -1663,6 +1678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_routes": _q_percolate_routes,
         "scrub_pii": _q_scrub_pii,
         "pq_recall": _q_pq_recall,
+        "profile_orders": _q_profile_orders,
         "bm25_msm_nostem": _q_bm25_msm_nostem,
         "rerank_topk": _q_rerank_topk,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -2880,6 +2896,31 @@ FROM ng GROUP BY s ORDER BY cnt DESC, ngram LIMIT 20
             f"CAST(round(avg(c), 6) AS DOUBLE) AS avg_doc_len FROM "
             f"(SELECT doc_id, count(*) AS c FROM ({_TOK2}) GROUP BY doc_id)"
         ),
+        "profile_orders": """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+         count(*) - count(o_orderkey) AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct,
+         CAST(round(min(o_orderkey), 6) AS DOUBLE) AS min_r,
+         CAST(round(max(o_orderkey), 6) AS DOUBLE) AS max_r,
+         CAST(sum(CAST(round(o_orderkey * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+         count(DISTINCT o_custkey),
+         CAST(round(min(o_custkey), 6) AS DOUBLE),
+         CAST(round(max(o_custkey), 6) AS DOUBLE),
+         CAST(sum(CAST(round(o_custkey * 1000000) AS BIGINT)) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+         count(DISTINCT o_totalprice),
+         CAST(round(min(o_totalprice), 6) AS DOUBLE),
+         CAST(round(max(o_totalprice), 6) AS DOUBLE),
+         CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+  FROM orders
+)
+""",
         "pq_recall": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10),
 s AS (
