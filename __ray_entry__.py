@@ -1690,12 +1690,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_dedup_recall": _q_passage_dedup_recall,
         "bm25_fields_nostem": _q_bm25_fields_nostem,
         "corpus_prep": _q_corpus_prep,
+        # ---- driver window (50) ends here: everything below is
+        # driver-checked in earlier rounds (hash-green record) or
+        # rows-only by design, pinned by an in-window recall entry ----
         "dedup_clusters": _q_dedup_clusters,
         "duplicate_passages": _q_duplicate_passages,
         "duplicate_passages_overlap": _q_duplicate_passages_overlap,
         # -- representative proven slice (keeps the core families in
         #    every round's window) --
-        # ---- driver window (50) ends here ----
         "bm25_topk_nostem": _q_bm25_topk_nostem,
         "collection_stats": _q_collection_stats,
         "export_postings": _q_export_postings,

@@ -27,16 +27,11 @@ PERCOLATE_MAX_QUERIES = 100_000
 
 def _simple_terms(text: str) -> list[str]:
     """Distinct lowercase space-split tokens, first-occurrence order —
-    the SQL-replicable simple tokenization (engine.analysis
-    tokenize_simple + dedup)."""
-    seen: set[str] = set()
-    out: list[str] = []
-    for t in text.split(" "):
-        t = t.lower()
-        if t and t not in seen:
-            seen.add(t)
-            out.append(t)
-    return out
+    analysis.tokenize_simple (the F5 SQL-replicable contract) plus the
+    analyze_query dedup rule."""
+    from .analysis import tokenize_simple
+
+    return list(dict.fromkeys(tokenize_simple(text)))
 
 
 def percolate(

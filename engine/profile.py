@@ -44,10 +44,19 @@ def profile_table(
     min_r, max_r, sum_micros, min_str, max_str).  Numeric columns
     carry round6 min/max and the micros sum (string fields null);
     string columns carry lexicographic min/max (numeric fields null).
-    Output is columns-sized (a driver-side table by construction)."""
+    Output is columns-sized (a driver-side table by construction).
+
+    The input executes ONCE: it is materialized (projected columns
+    only, spillable blocks) and shared by the stats pass and the
+    distinct-count exchange — an unmaterialized lazy input would
+    re-run its whole upstream pipeline for each pass.  NaN in a float
+    column raises (NaN min/max/sum/distinct semantics differ between
+    engines — filter first); -0.0 and 0.0 count as ONE distinct value
+    (SQL equality)."""
     import pyarrow.compute as pc
 
-    ds = docs if docs is not None else _read(sf_dir, table, columns)
+    ds = (docs if docs is not None
+          else _read(sf_dir, table, columns)).materialize()
 
     def partials(batch: pa.Table) -> pa.Table:
         rows = []
@@ -62,6 +71,13 @@ def profile_table(
             if len(valid):
                 if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
                     v = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+                    if np.isnan(v).any():
+                        raise ValueError(
+                            f"column {name} contains NaN; profile_table "
+                            "requires NaN-free numeric columns (filter "
+                            "first) — NaN min/max/sum/distinct semantics "
+                            "differ between engines"
+                        )
                     row["mn"] = float(v.min())
                     row["mx"] = float(v.max())
                     row["sm"] = int(micro_signed(v).sum())
@@ -97,7 +113,7 @@ def profile_table(
         if r["sm"] is not None:
             m["sm"] = r["sm"] if m["sm"] is None else m["sm"] + r["sm"]
 
-    nd = distinct_counts(sf_dir, table, columns, docs=docs)
+    nd = distinct_counts(sf_dir, table, columns, docs=ds)
     out = []
     for c in columns:
         m = merged[c]
@@ -140,9 +156,12 @@ def distinct_counts(
     def explode(batch: pa.Table) -> pa.Table:
         cols_out, vals_out = [], []
         for name in columns:
-            vs = pc.unique(
-                pc.cast(batch.column(name).drop_null(), pa.string())
-            )
+            col = batch.column(name).drop_null()
+            if pa.types.is_floating(col.type):
+                # IEEE: -0.0 + 0.0 == +0.0 — collapses the signed-zero
+                # pair so the distinct count matches SQL equality
+                col = pc.add(col, 0.0)
+            vs = pc.unique(pc.cast(col, pa.string()))
             cols_out.append(pa.array([name] * len(vs), pa.string()))
             vals_out.append(vs)
         return pa.table(

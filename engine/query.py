@@ -819,6 +819,12 @@ class IndexReader:
             raise ValueError(
                 "field_boosts is not supported with collapse"
             )
+        if match == "msm" and collapse is not None:
+            # score_segment_collapsed has no msm plumbing; the default
+            # threshold would silently replace the caller's.
+            raise ValueError(
+                "match='msm' is not supported with collapse"
+            )
         cand: list[tuple[float, int, int]] = []  # (score, doc_id, seg_id)
         if collapse is not None:
             by_val: dict[str, tuple[float, int, int]] = {}
@@ -874,6 +880,12 @@ class SegmentScorer:
             # construction rather than emit unboosted ranks silently.
             raise ValueError(
                 "field_boosts is not supported with collapse or sort_by_path"
+            )
+        if match == "msm" and (collapse is not None or sort_by_path):
+            # Those branches have no msm plumbing; the default threshold
+            # would silently replace the caller's.
+            raise ValueError(
+                "match='msm' is not supported with collapse or sort_by_path"
             )
         dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
         self.readers = [

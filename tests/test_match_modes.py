@@ -493,3 +493,15 @@ def test_msm_distributed_equals_local(built_index):
     for i, q in enumerate(built_index["queries"]):
         want = _pairs(rd.search(q["text"], q["k"], match="msm", msm=2))
         assert by_q.get(i, []) == want, q["text"]
+
+
+def test_msm_unsupported_combinations_raise(built_index):
+    from engine.query import SegmentScorer
+
+    rd = IndexReader(built_index["out"])
+    with pytest.raises(ValueError, match="msm"):
+        rd.search("import", 5, match="msm", collapse="repo")
+    with pytest.raises(ValueError, match="msm"):
+        SegmentScorer(built_index["out"], match="msm", collapse="repo")
+    with pytest.raises(ValueError, match="msm"):
+        SegmentScorer(built_index["out"], match="msm", sort_by_path=True)
