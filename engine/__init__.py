@@ -14,18 +14,22 @@ A from-scratch rebuild of the capabilities of ``glennga/search-engine``
   both exact; engine/wand.py auto_topk) ->
   ``groupby(query_id).map_groups`` top-k merge.
 - training-data operators: dedup (exact / n-gram Jaccard / MinHash+LSH
-  / SimHash / embedding-cosine / exact duplicate passages,
-  engine/dedup.py), similarity search (brute-force + LSH/IVF ANN with
-  recall oracle + RRF hybrid fusion, engine/similarity.py), text
-  analysis (lang-ID, quality, token counts, fingerprints,
-  engine/textanalysis.py), corpus prep (quality cut, decontamination
-  with bounded removal semi-join, splits, epoch shuffle, DSIR
-  importance weights, engine/prep.py), multimodal binary-column
-  plumbing (engine/multimodal.py).
+  / SimHash / embedding-cosine / exact + near-duplicate passages,
+  engine/dedup.py), similarity search (brute-force + LSH/IVF ANN,
+  int8 + product quantization, recall oracles, RRF hybrid fusion,
+  engine/similarity.py), text→embedding encoding (engine/encoder.py),
+  two-stage rerank (engine/rerank.py), percolation / reverse search
+  (engine/percolate.py), text analysis (lang-ID, quality, token
+  counts, fingerprints, PII scrubbing, engine/textanalysis.py), table
+  profiling (engine/profile.py), corpus prep (quality cut,
+  decontamination with bounded removal semi-join, splits, epoch
+  shuffle, DSIR importance weights, engine/prep.py), multimodal
+  binary-column plumbing (engine/multimodal.py).
 - query modes (engine/query.py, all rank-identical to
   engine/refimpl.py): disjunctive / conjunctive / phrase / proximity
   (slop) / boolean (+must -not) / prefix / fuzzy / regex / lang-filter
-  / field-collapse / sort-by-field / federated multi-index, plus a
+  / field-collapse / sort-by-field / federated multi-index /
+  per-field boosts (multi-field) / minimum_should_match, plus a
   pluggable TF-IDF scorer, per-term explain, spell-corrected rewrite,
   incremental adds (segment generations), search-after pagination,
   tombstone deletes, generation-gated auto-compaction and a serving
