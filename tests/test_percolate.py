@@ -76,3 +76,23 @@ def test_percolate_guards():
            range(percolate.PERCOLATE_MAX_QUERIES + 1)]
     with pytest.raises(ValueError, match="broadcast bound"):
         percolate.percolate(SF, big)
+
+
+def test_percolate_hot_term_skew(ray_session):
+    """A bank term present in EVERY doc (df=100%) routes the whole
+    corpus to that query — output stays exact and match-volume-sized
+    (one row per (doc, matched query)), no dense blow-up."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = t.to_pylist()
+    # find a token present in every doc (the synthetic Zipf head)
+    from collections import Counter
+    df = Counter()
+    for r in rows:
+        df.update({w.lower() for w in r["text"].split(" ") if w})
+    hot, n = df.most_common(1)[0]
+    bank = [{"query_id": 0, "text": hot, "match": "any"}]
+    got = percolate.percolate(SF, bank).take_all()
+    assert len(got) == n
+    assert all(r["nmatch"] == 1 for r in got)

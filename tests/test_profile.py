@@ -53,3 +53,34 @@ def test_profile_unsupported_type_raises(ray_session):
     }))
     with pytest.raises(Exception, match="int/float/string"):
         profile.profile_table("", "", ["ts"], docs=ds)
+
+
+def test_profile_constant_and_all_null_columns(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "const": pa.array([7] * 10, pa.int64()),
+        "allnull": pa.array([None] * 10, pa.int64()),
+    }))
+    out = {r["column"]: r for r in
+           profile.profile_table("", "", ["const", "allnull"],
+                                 docs=ds).to_pylist()}
+    assert (out["const"]["n_distinct"], out["const"]["min_r"],
+            out["const"]["max_r"]) == (1, 7.0, 7.0)
+    a = out["allnull"]
+    assert (a["n_rows"], a["n_nulls"], a["n_distinct"]) == (10, 10, 0)
+    assert a["min_r"] is None and a["sum_micros"] is None
+
+
+def test_profile_nan_raises(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array([1.0, float("nan")], pa.float64()),
+    }))
+    with pytest.raises(Exception, match="NaN"):
+        profile.profile_table("", "", ["x"], docs=ds)
+
+
+def test_profile_signed_zero_counts_once(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array([0.0, -0.0, 1.0], pa.float64()),
+    }))
+    nd = profile.distinct_counts("", "", ["x"], docs=ds)
+    assert nd == {"x": 2}

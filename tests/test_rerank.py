@@ -85,3 +85,20 @@ def test_lexical_reranker_unknown_doc_raises(idx):
     rr = rerank.LexicalReranker(idx["out"], {0: "def return"})
     with pytest.raises(KeyError):
         rr._doc_terms(123456789)
+
+
+def test_rerank_fewer_candidates_than_k(idx):
+    """A rare-term query matches fewer docs than k — ranks stay
+    contiguous over the short list, no crash, no padding."""
+    from collections import Counter
+
+    df = Counter()
+    for r in idx["rows"]:
+        df.update({t.lower() for t in r["content"].split(" ") if t})
+    rare, n = min(df.items(), key=lambda kv: (kv[1], kv[0]))
+    assert n < 50
+    qs = [{"query_id": 9, "text": f"{rare} zzz_oov1 zzz_oov2", "k": 50}]
+    t = rerank.rerank_topk(idx["out"], qs, k=50, k0=100)
+    rows = sorted(t.to_pylist(), key=lambda r: r["rank"])
+    assert 0 < len(rows) < 50
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
